@@ -1,0 +1,144 @@
+"""Tile binning: map each projected splat to the image tiles it covers.
+
+TPU-native replacement for the GL rasterizer's implicit scatter of quads to
+pixels. The image is divided into TILE_H x TILE_W pixel tiles; each splat's
+rasterized-quad bounding box (Projected.half_extent_ndc) selects a rectangle
+of tiles. Because XLA needs static shapes, each splat emits a fixed budget of
+(tile, splat) pairs (`max_tiles_per_splat`); splats whose bbox covers more
+tiles contribute their top-left `max_tiles_per_splat` rectangle and the
+overflow count is reported so callers can widen the budget. Pairs are then
+key-sorted by (tile_id, front-to-back order) with a single fused on-device
+`lax.sort` — this replaces the reference's CPU key loop + GPU radix sort
+round trip (Scenes.h:312-328, GPU_RADIX_SORT/radix_sort.hpp:258-389).
+
+The per-tile contiguous ranges (CSR offsets) are recovered with a
+searchsorted over the sorted tile ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from fourdgs.render.project import Projected
+
+TILE_H = 32
+TILE_W = 32
+
+
+def tile_grid(width: int, height: int, tile_h: int = TILE_H, tile_w: int = TILE_W):
+    """Number of tiles (ny, nx) covering a width x height image (padded up)."""
+    return (-(-height // tile_h), -(-width // tile_w))
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TileBinning:
+    """Sorted (tile, splat) pair lists + CSR offsets.
+
+    pair_splat:  (P,) int32 splat index per pair, sorted by (tile, depth order)
+    pair_tile:   (P,) int32 tile id per pair (ny*nx for invalid/padding pairs)
+    tile_start:  (T+1,) int32 CSR offsets into the pair arrays
+    overflowed:  () int32 number of splats whose bbox exceeded the pair budget
+    """
+    pair_splat: jax.Array
+    pair_tile: jax.Array
+    tile_start: jax.Array
+    overflowed: jax.Array
+
+
+def bin_splats(proj: Projected, p00, p11, width: int, height: int,
+               order_rank: jax.Array,
+               tile_h: int = TILE_H, tile_w: int = TILE_W,
+               max_tiles_per_splat: int = 16) -> TileBinning:
+    """Build sorted (tile, splat) pairs.
+
+    order_rank: (N,) int32 — rank of each splat in front-to-back order
+    (rank = position in the sorted-by-depth sequence). Pairs of the same tile
+    are ordered by this rank, so each tile's slice is already composite-ready.
+    """
+    n = proj.count
+    ny, nx = tile_grid(width, height, tile_h, tile_w)
+    num_tiles = ny * nx
+    dtype = proj.mean_ndc.dtype
+
+    # Pixel-space center and half extents of the rasterized quad.
+    hx_ndc, hy_ndc = proj.half_extent_ndc(p00, p11)
+    cx = (proj.mean_ndc[:, 0] + 1.0) * 0.5 * width       # pixels
+    cy = (1.0 - proj.mean_ndc[:, 1]) * 0.5 * height      # row 0 = top
+    hx = hx_ndc * 0.5 * width
+    hy = hy_ndc * 0.5 * height
+
+    tx0 = jnp.clip(jnp.floor((cx - hx) / tile_w), 0, nx - 1).astype(jnp.int32)
+    tx1 = jnp.clip(jnp.floor((cx + hx) / tile_w), 0, nx - 1).astype(jnp.int32)
+    ty0 = jnp.clip(jnp.floor((cy - hy) / tile_h), 0, ny - 1).astype(jnp.int32)
+    ty1 = jnp.clip(jnp.floor((cy + hy) / tile_h), 0, ny - 1).astype(jnp.int32)
+    # Fully off-screen bboxes produce empty ranges once gated by `valid`;
+    # on-screen test: bbox intersects the image at all.
+    on_screen = ((cx + hx >= 0) & (cx - hx <= width) &
+                 (cy + hy >= 0) & (cy - hy <= height))
+    alive = proj.valid & on_screen
+
+    nx_span = tx1 - tx0 + 1
+    ny_span = ty1 - ty0 + 1
+    span = nx_span * ny_span
+    overflowed = jnp.sum((span > max_tiles_per_splat) & alive)
+
+    # Emit a fixed budget of pairs per splat, row-major over the bbox.
+    slot = jnp.arange(max_tiles_per_splat, dtype=jnp.int32)
+    sy = slot[None, :] // jnp.maximum(nx_span, 1)[:, None]
+    sx = slot[None, :] % jnp.maximum(nx_span, 1)[:, None]
+    pair_live = alive[:, None] & (slot[None, :] < span[:, None]) & (sy < ny_span[:, None])
+    tid = (ty0[:, None] + sy) * nx + (tx0[:, None] + sx)
+    tid = jnp.where(pair_live, tid, num_tiles)  # padding key sorts last
+
+    rank = jnp.broadcast_to(order_rank[:, None], tid.shape)
+    splat_idx = jnp.broadcast_to(
+        jnp.arange(n, dtype=jnp.int32)[:, None], tid.shape)
+
+    tid = tid.reshape(-1)
+    rank = jnp.where(pair_live, rank, jnp.iinfo(jnp.int32).max).reshape(-1)
+    splat_idx = splat_idx.reshape(-1)
+
+    # One fused stable sort by (tile, front-to-back rank).
+    tid_s, _, splat_s = jax.lax.sort((tid, rank, splat_idx), num_keys=2)
+
+    # CSR offsets per tile.
+    tile_start = jnp.searchsorted(tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+                                  side="left").astype(jnp.int32)
+
+    return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
+                       tile_start=tile_start, overflowed=overflowed)
+
+
+def tile_pixel_ndc(width: int, height: int, tile_h: int = TILE_H,
+                   tile_w: int = TILE_W, dtype=jnp.float32):
+    """NDC coords of pixel centers for every tile: returns (px, py) of shape
+    (T, tile_h * tile_w) where T = ny * nx, plus the (ny, nx) grid. Pixels
+    outside the true image (padding tiles on the bottom/right) still get
+    coordinates; callers crop the assembled image."""
+    ny, nx = tile_grid(width, height, tile_h, tile_w)
+    ty = jnp.arange(ny, dtype=jnp.int32)
+    tx = jnp.arange(nx, dtype=jnp.int32)
+    iy = jnp.arange(tile_h, dtype=jnp.int32)
+    ix = jnp.arange(tile_w, dtype=jnp.int32)
+    # Global pixel coordinates per (tile_y, tile_x, in_y, in_x).
+    gy = (ty[:, None, None, None] * tile_h + iy[None, None, :, None]).astype(dtype)
+    gx = (tx[None, :, None, None] * tile_w + ix[None, None, None, :]).astype(dtype)
+    px = (gx + 0.5) / width * 2.0 - 1.0
+    py = 1.0 - (gy + 0.5) / height * 2.0
+    px = jnp.broadcast_to(px, (ny, nx, tile_h, tile_w)).reshape(ny * nx, tile_h * tile_w)
+    py = jnp.broadcast_to(py, (ny, nx, tile_h, tile_w)).reshape(ny * nx, tile_h * tile_w)
+    return px, py, (ny, nx)
+
+
+def assemble_image(tiles_rgba: jax.Array, width: int, height: int,
+                   tile_h: int = TILE_H, tile_w: int = TILE_W) -> jax.Array:
+    """(T, tile_h*tile_w, 4) tile buffers -> (H, W, 4) image (cropped)."""
+    ny, nx = tile_grid(width, height, tile_h, tile_w)
+    img = tiles_rgba.reshape(ny, nx, tile_h, tile_w, 4)
+    img = img.transpose(0, 2, 1, 3, 4).reshape(ny * tile_h, nx * tile_w, 4)
+    return img[:height, :width]
