@@ -1,0 +1,132 @@
+"""Parity tests: the tiled pipeline must reproduce the dense golden renderer
+bit-for-bit (up to float tolerance) — the moral equivalent of the reference's
+sort self-checks (SURVEY.md section 4b), but for the whole pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourdgs.core.camera import Camera
+from fourdgs.render import dense, pipeline
+from fourdgs.render.pipeline import RenderConfig
+from fourdgs.render.sort import front_to_back_rank, inverse_permutation
+from fourdgs.render.tiles import bin_splats, tile_grid
+from fourdgs.render.project import project_splats
+from fourdgs.splats import gaussians as G
+
+
+def make_scene(key, n=200, spread=10.0, dtype=jnp.float32):
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    pos = jax.random.uniform(k1, (n, 3), minval=-spread, maxval=spread)
+    pos = pos.at[:, 2].add(-30.0)
+    quat = jax.random.normal(k2, (n, 4))
+    scale = jax.random.uniform(k3, (n, 3), minval=0.5, maxval=3.0)
+    color = jax.random.uniform(k4, (n, 4), minval=0.1, maxval=1.0)
+    return G.Splats3D(position=pos.astype(dtype),
+                      color=color.astype(dtype),
+                      cov=G.build_cov3d(quat, scale).astype(dtype))
+
+
+CAM = Camera.create(position=(0.0, 0.0, 0.0), width=96, height=64)
+CFG = RenderConfig(max_splats_per_tile=256, splat_chunk=32)
+
+
+class TestBinning:
+    def test_pairs_cover_every_tile_slice(self):
+        splats = make_scene(jax.random.PRNGKey(0))
+        proj = project_splats(splats.position, splats.cov, splats.color,
+                              jnp.ones((splats.count,)), CAM)
+        pmat = CAM.proj_matrix()
+        rank = front_to_back_rank(proj.depth)
+        b = bin_splats(proj, pmat[0, 0], pmat[1, 1], CAM.width, CAM.height, rank)
+        ny, nx = tile_grid(CAM.width, CAM.height)
+        ts = np.asarray(b.tile_start)
+        assert ts.shape == (ny * nx + 1,)
+        assert (np.diff(ts) >= 0).all()
+        assert int(b.overflowed) == 0
+        # Within each tile, pairs are front-to-back (ascending rank).
+        ranks = np.asarray(rank)[np.asarray(b.pair_splat)]
+        tids = np.asarray(b.pair_tile)
+        for t in range(ny * nx):
+            r = ranks[ts[t]:ts[t + 1]]
+            assert (np.diff(r) >= 0).all(), f"tile {t} not depth-ordered"
+        # Every live pair's tile id is valid.
+        live = tids < ny * nx
+        assert ts[-1] == live.sum()
+
+    def test_inverse_permutation(self):
+        order = jnp.array([2, 0, 3, 1], jnp.int32)
+        inv = inverse_permutation(order)
+        np.testing.assert_array_equal(np.asarray(inv), [1, 3, 0, 2])
+
+
+class TestTiledParity:
+    def test_matches_dense_3d(self):
+        splats = make_scene(jax.random.PRNGKey(1))
+        img_d = np.asarray(dense.render_splats3d(splats, CAM))
+        img_t = np.asarray(pipeline.render_splats3d(splats, CAM, cfg=CFG))
+        np.testing.assert_allclose(img_t, img_d, atol=2e-5)
+
+    def test_matches_dense_3d_bigger_splats(self):
+        # Splats large enough to span many tiles exercise the pair budget.
+        splats = make_scene(jax.random.PRNGKey(2), n=60)
+        splats = G.Splats3D(position=splats.position, color=splats.color,
+                            cov=splats.cov * 16.0)
+        cfg = RenderConfig(max_splats_per_tile=128, splat_chunk=16,
+                           max_tiles_per_splat=64)
+        img_d = np.asarray(dense.render_splats3d(splats, CAM))
+        img_t = np.asarray(pipeline.render_splats3d(splats, CAM, cfg=cfg))
+        np.testing.assert_allclose(img_t, img_d, atol=2e-5)
+
+    def test_matches_dense_4d(self):
+        key = jax.random.PRNGKey(3)
+        n = 120
+        ks = jax.random.split(key, 5)
+        pos4 = jnp.concatenate([
+            jax.random.uniform(ks[0], (n, 3), minval=-8, maxval=8),
+            jax.random.uniform(ks[1], (n, 1), minval=0.0, maxval=4.0)], -1)
+        pos4 = pos4.at[:, 2].add(-30.0)
+        splats = G.Splats4D.from_motion(
+            position4=pos4,
+            quat=jax.random.normal(ks[2], (n, 4)),
+            scale3=jax.random.uniform(ks[3], (n, 3), minval=0.5, maxval=2.5),
+            lifetime=jnp.full((n,), 2.0),
+            fade=jnp.full((n,), 0.5),
+            velocity=jax.random.normal(ks[4], (n, 3)) * 0.5,
+            color=jax.random.uniform(jax.random.PRNGKey(9), (n, 4), minval=0.1, maxval=1.0))
+        for t in (0.0, 1.7, 3.5):
+            img_d = np.asarray(dense.render_splats4d(splats, CAM, t))
+            img_t = np.asarray(pipeline.render_splats4d(splats, CAM, t, cfg=CFG))
+            np.testing.assert_allclose(img_t, img_d, atol=2e-5, err_msg=f"t={t}")
+
+    def test_jit_and_grad(self):
+        splats = make_scene(jax.random.PRNGKey(4), n=50)
+        target = jnp.zeros((CAM.height, CAM.width, 4))
+
+        @jax.jit
+        def loss(pos):
+            s = G.Splats3D(position=pos, color=splats.color, cov=splats.cov)
+            img = pipeline.render_splats3d(s, CAM, cfg=CFG)
+            return jnp.mean((img - target) ** 2)
+
+        g = jax.grad(loss)(splats.position)
+        assert np.isfinite(np.asarray(g)).all()
+        assert np.abs(np.asarray(g)).max() > 0
+
+    def test_overflow_truncation_keeps_nearest(self):
+        # With a tiny per-tile capacity the nearest (front) splats must win.
+        splats = make_scene(jax.random.PRNGKey(5), n=100, spread=2.0)
+        cfg_small = RenderConfig(max_splats_per_tile=8, splat_chunk=8)
+        img_small = np.asarray(pipeline.render_splats3d(splats, CAM, cfg=cfg_small))
+        img_full = np.asarray(pipeline.render_splats3d(splats, CAM, cfg=CFG))
+        # Truncation only *adds* background / removes far splats; where the
+        # full image is empty, truncated must be too.
+        empty = img_full[..., :3].sum(-1) == 0
+        assert (img_small[..., :3].sum(-1)[empty] == 0).all()
+        assert np.isfinite(img_small).all()
+
+
+if __name__ == "__main__":
+    import sys
+    sys.exit(pytest.main([__file__, "-q"]))
