@@ -28,7 +28,8 @@ import jax
 import jax.numpy as jnp
 
 from fourdgs.core.camera import Camera, pixel_centers_ndc
-from fourdgs.render.project import Projected, pixel_weight, project_splats
+from fourdgs.render.project import (Projected, eigen2x2, pixel_weight,
+                                    project_splats)
 from fourdgs.splats.gaussians import (Splats2D, Splats3D, Splats4D,
                                       mean_in_time_sortkey)
 
@@ -59,8 +60,7 @@ def composite_dense(proj: Projected, px: jax.Array, py: jax.Array,
     """Alpha-composite front-to-back-ordered splats over a pixel grid.
 
     proj fields (N,), px/py (H, W) NDC pixel centers, background (4,) rgba.
-    Returns (H, W, 4). N must be a multiple-friendly size; it is padded to a
-    multiple of `chunk` with invalid splats.
+    Returns (H, W, 4). N is padded to a multiple of `chunk`.
     """
     h, w = px.shape
     dtype = px.dtype
@@ -84,13 +84,14 @@ def composite_dense(proj: Projected, px: jax.Array, py: jax.Array,
         rgb_acc, a_acc, log_t = carry
         weight, cover = pixel_weight(chunk_proj, pxf, pyf, p00, p11)  # (C, P)
         gate = (cover & chunk_proj.valid[:, None]).astype(dtype)
-        alpha = chunk_proj.opacity[:, None] * weight * chunk_proj.color[:, 3:4] * gate
+        alpha = chunk_proj.opacity[:, None] * weight * chunk_proj.a[:, None] * gate
         alpha = jnp.clip(alpha, 0.0, ALPHA_MAX)
         log1m = jnp.log1p(-alpha)
         # Transmittance in front of each splat of this chunk.
         t_excl = jnp.exp(log_t[None, :] + jnp.cumsum(log1m, axis=0) - log1m)
         wgt = alpha * t_excl  # (C, P)
-        rgb_acc = rgb_acc + jnp.einsum("cp,cd->pd", wgt, chunk_proj.color[:, :3],
+        rgb_chunk = jnp.stack([chunk_proj.r, chunk_proj.g, chunk_proj.b], axis=-1)
+        rgb_acc = rgb_acc + jnp.einsum("cp,cd->pd", wgt, rgb_chunk,
                                        preferred_element_type=dtype)
         # GL alpha channel: out.a = a*src.a + (1-a)*dst.a with src.a = a.
         a_acc = a_acc + jnp.sum(alpha * wgt, axis=0)
@@ -170,22 +171,21 @@ def project_splats2d(splats: Splats2D, camera: Camera) -> Tuple[Projected, jax.A
     ssz = -pmat[2, 2] + pmat[2, 3]  # z of uProj*(x,y,-1,1) with w_clip = 1
     denom = 5.0 - ssz               # w_clip of the quad vertices
 
-    from fourdgs.render.project import eigen2x2
     lmin, lmax, v0 = eigen2x2(splats.cov)
     l0 = jnp.sqrt(2.0 * lmin)
     l1 = jnp.sqrt(2.0 * lmax)
 
-    center = splats.position * jnp.stack([p00 * p00, p11 * p11]) / denom
-
     n = splats.count
     proj = Projected(
-        mean_ndc=center,
+        mx=splats.position[:, 0] * p00 * p00 / denom,
+        my=splats.position[:, 1] * p11 * p11 / denom,
         depth=jnp.zeros((n,), dtype),          # no sorting in the 2D scene
         view_z=jnp.full((n,), 5.0, dtype),
-        v0=v0,
+        v0x=v0[:, 0], v0y=v0[:, 1],
         l0=l1,                                  # swap quirk (GLSL :76)
         l1=l0,
-        color=splats.color,
+        r=splats.color[:, 0], g=splats.color[:, 1], b=splats.color[:, 2],
+        a=splats.color[:, 3],
         opacity=jnp.ones((n,), dtype),
         valid=jnp.ones((n,), bool),
     )

@@ -26,7 +26,8 @@ import jax
 import jax.numpy as jnp
 
 from fourdgs.core.camera import Camera
-from fourdgs.render.project import Projected, pixel_weight, project_splats
+from fourdgs.render.project import (Projected, pixel_weight,
+                                    project_components, project_splats)
 from fourdgs.render.sort import front_to_back_rank
 from fourdgs.render.tiles import (TILE_H, TILE_W, assemble_image, bin_splats,
                                   tile_grid, tile_pixel_ndc)
@@ -90,36 +91,32 @@ def _composite_tiles_xla(proj: Projected, tile_splat: jax.Array,
     tile_splat = tile_splat.reshape(t_tiles, n_chunks, chunk)
     tile_live = tile_live.reshape(t_tiles, n_chunks, chunk)
 
-    # Pack the per-splat record once; gathers below stay cheap.
-    rec = jnp.concatenate([
-        proj.mean_ndc,                            # 0:2
-        proj.v0,                                  # 2:4
-        proj.l0[:, None], proj.l1[:, None],       # 4, 5
-        proj.color,                               # 6:10
-        proj.opacity[:, None],                    # 10
-        proj.valid[:, None].astype(dtype),        # 11
-    ], axis=-1)
+    # Per-splat fields stay separate 1-D (N,) arrays ("scalar SoA" — see the
+    # layout note in render/project.py); each chunk gathers what it needs.
+    a_eff = proj.opacity * proj.a * proj.valid.astype(dtype)
 
     def step(carry, inputs):
         rgb_acc, a_acc, log_t = carry
         sidx, live = inputs                       # (T, C), (T, C)
-        r = rec[sidx]                             # (T, C, 12)
-        dx = (px[:, None, :] - r[..., 0:1]) / p00  # (T, C, P)
-        dy = (py[:, None, :] - r[..., 1:2]) / p11
-        v0x, v0y = r[..., 2:3], r[..., 3:4]
+        take = lambda f: f[sidx][..., None]       # (T, C, 1)
+        dx = (px[:, None, :] - take(proj.mx)) / p00  # (T, C, P)
+        dy = (py[:, None, :] - take(proj.my)) / p11
+        v0x, v0y = take(proj.v0x), take(proj.v0y)
         k0 = v0x * dx + v0y * dy
         k1 = v0y * dx - v0x * dy
-        n0 = k0 / r[..., 4:5]
-        n1 = k1 / r[..., 5:6]
+        n0 = k0 / take(proj.l0)
+        n1 = k1 / take(proj.l1)
         q = 64.0 * (n0 * n0 + n1 * n1)
         w = jnp.exp(-0.5 * q)
         cover = (jnp.abs(n0) <= 0.5) & (jnp.abs(n1) <= 0.5) & (w >= 1e-4)
-        gate = (cover & live[..., None] & (r[..., 11:12] > 0.5)).astype(dtype)
-        alpha = jnp.clip(r[..., 10:11] * w * r[..., 9:10] * gate, 0.0, ALPHA_MAX)
+        gate = (cover & live[..., None]).astype(dtype)
+        alpha = jnp.clip(take(a_eff) * w * gate, 0.0, ALPHA_MAX)
         log1m = jnp.log1p(-alpha)                 # (T, C, P)
         t_excl = jnp.exp(log_t[:, None, :] + jnp.cumsum(log1m, axis=1) - log1m)
         wgt = alpha * t_excl
-        rgb_acc = rgb_acc + jnp.einsum("tcp,tcd->tpd", wgt, r[..., 6:9],
+        rgb_chunk = jnp.stack([proj.r[sidx], proj.g[sidx], proj.b[sidx]],
+                              axis=-1)            # (T, C, 3)
+        rgb_acc = rgb_acc + jnp.einsum("tcp,tcd->tpd", wgt, rgb_chunk,
                                        preferred_element_type=dtype)
         a_acc = a_acc + jnp.sum(alpha * wgt, axis=1)
         log_t = log_t + jnp.sum(log1m, axis=1)
@@ -139,7 +136,7 @@ def _composite_tiles_xla(proj: Projected, tile_splat: jax.Array,
 def render_projected(proj: Projected, camera: Camera,
                      cfg: RenderConfig = RenderConfig()) -> jax.Array:
     """Tile-binned render of already-projected splats. Returns (H, W, 4)."""
-    dtype = proj.mean_ndc.dtype
+    dtype = proj.mx.dtype
     pmat = camera.proj_matrix().astype(dtype)
     p00, p11 = pmat[0, 0], pmat[1, 1]
     w, h = camera.width, camera.height
@@ -181,9 +178,27 @@ def render_splats3d(splats: Splats3D, camera: Camera,
 def render_splats4d(splats: Splats4D, camera: Camera, t,
                     min_opacity=0.0,
                     cfg: RenderConfig = RenderConfig()) -> jax.Array:
-    """The flagship path at production scale: 4D slice + EWA + tiled ordered
-    composite, one jit, zero host round trips."""
+    """The flagship path: 4D slice + EWA + tiled ordered composite, one jit,
+    zero host round trips. For 10M+ splats use render_params4d_packed —
+    (N,4,4) covariance tensors get pathological TPU layouts at that scale."""
     sliced, top = splats.at_time(t, min_opacity)
     sort_mean = mean_in_time_sortkey(splats.position, splats.cov, t)
     return render_splats3d(sliced, camera, opacity=top, sort_mean3=sort_mean,
                            cfg=cfg)
+
+
+def render_params4d_packed(params: dict, camera: Camera, t, min_opacity=0.0,
+                           cfg: RenderConfig = RenderConfig()) -> jax.Array:
+    """Production-scale flagship path on the packed scalar-SoA
+    parameterization (splats/packed.py): covariance construction, temporal
+    slicing and EWA all fuse into one elementwise pass — nothing with a tiny
+    trailing dim is ever materialized. `params` is a dict of (N,) component
+    arrays (PARAM4D_FIELDS)."""
+    from fourdgs.splats import packed as PK
+    cov4 = PK.cov4_motion(params)
+    mx, my, mz, cov3, opacity, sort_mean = PK.slice4d(params, cov4, t,
+                                                      min_opacity)
+    colors = (params["cr"], params["cg"], params["cb"], params["ca"])
+    proj = project_components(mx, my, mz, cov3, colors, opacity, camera,
+                              sort_mean=sort_mean)
+    return render_projected(proj, camera, cfg)

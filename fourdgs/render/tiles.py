@@ -63,12 +63,12 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
     n = proj.count
     ny, nx = tile_grid(width, height, tile_h, tile_w)
     num_tiles = ny * nx
-    dtype = proj.mean_ndc.dtype
+    dtype = proj.mx.dtype
 
     # Pixel-space center and half extents of the rasterized quad.
     hx_ndc, hy_ndc = proj.half_extent_ndc(p00, p11)
-    cx = (proj.mean_ndc[:, 0] + 1.0) * 0.5 * width       # pixels
-    cy = (1.0 - proj.mean_ndc[:, 1]) * 0.5 * height      # row 0 = top
+    cx = (proj.mx + 1.0) * 0.5 * width       # pixels
+    cy = (1.0 - proj.my) * 0.5 * height      # row 0 = top
     hx = hx_ndc * 0.5 * width
     hy = hy_ndc * 0.5 * height
 
