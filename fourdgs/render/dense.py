@@ -56,11 +56,17 @@ def sort_front_to_back(proj: Projected) -> Projected:
 
 def composite_dense(proj: Projected, px: jax.Array, py: jax.Array,
                     p00: jax.Array, p11: jax.Array,
-                    background: jax.Array, chunk: int = 256) -> jax.Array:
+                    background: jax.Array, chunk: int = 256,
+                    premultiplied: bool = False) -> jax.Array:
     """Alpha-composite front-to-back-ordered splats over a pixel grid.
 
     proj fields (N,), px/py (H, W) NDC pixel centers, background (4,) rgba.
     Returns (H, W, 4). N is padded to a multiple of `chunk`.
+
+    premultiplied reproduces the 3D fragment shader's output convention
+    (Splat3DFragShaderFull.GLSL:22: color = c * RGBA before the fixed
+    GL_SRC_ALPHA blend), i.e. the blended rgb is additionally scaled by the
+    Gaussian weight; the 2D/4D shaders emit straight color (default).
     """
     h, w = px.shape
     dtype = px.dtype
@@ -90,8 +96,9 @@ def composite_dense(proj: Projected, px: jax.Array, py: jax.Array,
         # Transmittance in front of each splat of this chunk.
         t_excl = jnp.exp(log_t[None, :] + jnp.cumsum(log1m, axis=0) - log1m)
         wgt = alpha * t_excl  # (C, P)
+        cw = wgt * weight if premultiplied else wgt
         rgb_chunk = jnp.stack([chunk_proj.r, chunk_proj.g, chunk_proj.b], axis=-1)
-        rgb_acc = rgb_acc + jnp.einsum("cp,cd->pd", wgt, rgb_chunk,
+        rgb_acc = rgb_acc + jnp.einsum("cp,cd->pd", cw, rgb_chunk,
                                        preferred_element_type=dtype)
         # GL alpha channel: out.a = a*src.a + (1-a)*dst.a with src.a = a.
         a_acc = a_acc + jnp.sum(alpha * wgt, axis=0)
@@ -115,9 +122,14 @@ def render_splats3d(splats: Splats3D, camera: Camera,
                     opacity: Optional[jax.Array] = None,
                     sort_mean3: Optional[jax.Array] = None,
                     background=(0.0, 0.0, 0.0, 1.0),
-                    sort: bool = True, chunk: int = 256) -> jax.Array:
+                    sort: bool = True, chunk: int = 256,
+                    premultiplied: bool = False) -> jax.Array:
     """Render 3D splats (optionally with per-splat extra opacity, i.e. an
-    already-sliced 4D scene) through the dense golden path. Returns (H,W,4)."""
+    already-sliced 4D scene) through the dense golden path. Returns (H,W,4).
+
+    Set premultiplied=True for the reference's dedicated 3D path
+    (Splat3DFragShaderFull.GLSL:22 emits c*RGBA); the 4D scenes use straight
+    color (Splat4DFragShader.GLSL:29, the default here)."""
     dtype = splats.position.dtype
     op = jnp.ones((splats.count,), dtype) if opacity is None else opacity
     proj = project_splats(splats.position, splats.cov, splats.color, op,
@@ -131,7 +143,8 @@ def render_splats3d(splats: Splats3D, camera: Camera,
     pmat = camera.proj_matrix().astype(dtype)
     px, py = pixel_centers_ndc(camera.width, camera.height, dtype)
     return composite_dense(proj, px, py, pmat[0, 0], pmat[1, 1],
-                           jnp.asarray(background, dtype), chunk=chunk)
+                           jnp.asarray(background, dtype), chunk=chunk,
+                           premultiplied=premultiplied)
 
 
 def render_splats4d(splats: Splats4D, camera: Camera, t,

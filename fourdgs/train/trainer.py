@@ -1,0 +1,108 @@
+"""Single-host training loop for fitting 4D splat scenes to images.
+
+Complements fourdgs/parallel/distributed.py (the multi-chip step): this is
+the simple path — one device (or jit-auto-sharded), camera/time batches via
+scan. The reference has no checkpoint/resume at all (SURVEY.md section 5 —
+scene reset is unload()+init()); here parameter pytrees round-trip through
+orbax or a plain npz fallback.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from functools import partial
+from typing import Callable, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from fourdgs.core.camera import Camera
+from fourdgs.parallel.distributed import materialize_splats
+from fourdgs.render.pipeline import RenderConfig, render_splats4d
+from fourdgs.train import loss as L
+
+
+@dataclasses.dataclass
+class FitResult:
+    params: Dict[str, jax.Array]
+    losses: List[float]
+
+
+def make_loss_fn(camera: Camera, cfg: RenderConfig, min_opacity=0.0,
+                 ssim_weight: float = 0.0) -> Callable:
+    def loss_fn(params, target, t):
+        splats = materialize_splats(params)
+        img = render_splats4d(splats, camera, t, min_opacity, cfg=cfg)
+        if ssim_weight > 0:
+            return L.photometric(img, target, ssim_weight)
+        return L.l2(img, target)
+    return loss_fn
+
+
+def fit(params: Dict[str, jax.Array],
+        frames: Iterable[Tuple[jax.Array, float]],
+        camera: Camera,
+        steps: int = 200,
+        learning_rate: float = 5e-3,
+        cfg: RenderConfig = RenderConfig(),
+        ssim_weight: float = 0.0,
+        log_every: int = 0) -> FitResult:
+    """Fit splat parameters to (target_image, t) frames by cycling through
+    them with Adam. Small-scale convenience API; for multi-chip use
+    parallel.distributed.make_sharded_train_step."""
+    frames = list(frames)
+    loss_fn = make_loss_fn(camera, cfg, ssim_weight=ssim_weight)
+    opt = optax.adam(learning_rate)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, opt_state, target, t):
+        loss, grads = jax.value_and_grad(loss_fn)(params, target, t)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for i in range(steps):
+        target, t = frames[i % len(frames)]
+        params, opt_state, loss = step(params, opt_state, target,
+                                       jnp.asarray(t))
+        losses.append(float(loss))
+        if log_every and i % log_every == 0:
+            print(f"step {i}: loss {losses[-1]:.6f}")
+    return FitResult(params=params, losses=losses)
+
+
+# ---------------------------------------------------------------------------
+# checkpointing (new capability; reference has none — SURVEY.md section 5)
+# ---------------------------------------------------------------------------
+
+def save_checkpoint(path: str, params: Dict[str, jax.Array],
+                    step: Optional[int] = None) -> None:
+    """Save a parameter pytree. Uses orbax when importable, else npz."""
+    try:
+        import orbax.checkpoint as ocp
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(os.path.abspath(path),
+                  jax.tree_util.tree_map(np.asarray, params), force=True)
+        ckpt.wait_until_finished()
+        return
+    except Exception:
+        pass
+    np.savez(path if path.endswith(".npz") else path + ".npz",
+             **{k: np.asarray(v) for k, v in params.items()},
+             __step__=np.asarray(-1 if step is None else step))
+
+
+def load_checkpoint(path: str) -> Dict[str, jax.Array]:
+    npz = path if path.endswith(".npz") else path + ".npz"
+    if os.path.exists(npz):
+        data = np.load(npz)
+        return {k: jnp.asarray(v) for k, v in data.items()
+                if not k.startswith("__")}
+    import orbax.checkpoint as ocp
+    ckpt = ocp.StandardCheckpointer()
+    restored = ckpt.restore(os.path.abspath(path))
+    return {k: jnp.asarray(v) for k, v in restored.items()}

@@ -39,6 +39,10 @@ def build_argparser():
     p.add_argument("--cam-dir", default=None, help="x,y,z orientation override")
     p.add_argument("--background", default="0,0,0,1")
     p.add_argument("--cpu", action="store_true", help="force the CPU backend")
+    p.add_argument("--grid", action="store_true",
+                   help="overlay the reference's ground grid (Scenes.h:303)")
+    p.add_argument("--axis", action="store_true",
+                   help="overlay the xyz axis cross (Scenes.h:304)")
     return p
 
 
@@ -82,16 +86,26 @@ def main(argv=None):
 
     def render_at(t):
         if isinstance(splats, Splats2D):
-            return dense_mod.render_splats2d(splats, cam, background=bg)
-        if isinstance(splats, Splats3D):
+            img = dense_mod.render_splats2d(splats, cam, background=bg)
+        elif isinstance(splats, Splats3D):
             if args.backend == "dense":
-                return dense_mod.render_splats3d(splats, cam, background=bg,
-                                                 sort=not args.no_sort)
-            return pipe_mod.render_splats3d(splats, cam, cfg=cfg)
-        if args.backend == "dense":
-            return dense_mod.render_splats4d(splats, cam, t, args.min_opacity,
-                                             background=bg, sort=not args.no_sort)
-        return pipe_mod.render_splats4d(splats, cam, t, args.min_opacity, cfg=cfg)
+                img = dense_mod.render_splats3d(splats, cam, background=bg,
+                                                sort=not args.no_sort,
+                                                premultiplied=True)
+            else:
+                img = pipe_mod.render_splats3d(splats, cam, cfg=cfg)
+        elif args.backend == "dense":
+            img = dense_mod.render_splats4d(splats, cam, t, args.min_opacity,
+                                            background=bg, sort=not args.no_sort)
+        else:
+            img = pipe_mod.render_splats4d(splats, cam, t, args.min_opacity, cfg=cfg)
+        if args.grid or args.axis:
+            from fourdgs.render import overlay
+            if args.grid:
+                img = overlay.draw_grid(img, cam)
+            if args.axis:
+                img = overlay.draw_axis(img, cam)
+        return img
 
     render = jax.jit(render_at)
 
