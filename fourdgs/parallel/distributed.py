@@ -33,7 +33,7 @@ from fourdgs.core.camera import Camera
 from fourdgs.parallel.mesh import DATA_AXIS, TILE_AXIS, pad_to_multiple
 from fourdgs.render.pipeline import RenderConfig, _composite_tiles_xla, _gather_tile_lists
 from fourdgs.render.project import project_splats
-from fourdgs.render.sort import front_to_back_rank
+from fourdgs.render.sort import front_to_back_order
 from fourdgs.render.tiles import bin_splats, tile_grid, tile_pixel_ndc
 from fourdgs.splats.gaussians import (Splats4D, build_cov4d_motion,
                                       mean_in_time_sortkey, slice_cov4d,
@@ -67,8 +67,9 @@ def _render_my_tiles(splats: Splats4D, t, camera: Camera, cfg: RenderConfig,
     pmat = camera.proj_matrix().astype(dtype)
     p00, p11 = pmat[0, 0], pmat[1, 1]
     w, h = camera.width, camera.height
-    rank = front_to_back_rank(proj.depth)
-    binning = bin_splats(proj, p00, p11, w, h, rank,
+    order = front_to_back_order(proj.depth)
+    proj = jax.tree_util.tree_map(lambda a: a[order], proj)
+    binning = bin_splats(proj, p00, p11, w, h,
                          tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                          max_tiles_per_splat=cfg.max_tiles_per_splat)
     tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg, None)

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 from fourdgs.core.camera import Camera
 from fourdgs.render.project import (Projected, pixel_weight,
                                     project_components, project_splats)
-from fourdgs.render.sort import front_to_back_rank
+from fourdgs.render.sort import front_to_back_order
 from fourdgs.render.tiles import (TILE_H, TILE_W, assemble_image, bin_splats,
                                   tile_grid, tile_pixel_ndc)
 from fourdgs.splats.gaussians import (Splats3D, Splats4D,
@@ -141,8 +141,9 @@ def render_projected(proj: Projected, camera: Camera,
     p00, p11 = pmat[0, 0], pmat[1, 1]
     w, h = camera.width, camera.height
 
-    rank = front_to_back_rank(proj.depth)
-    binning = bin_splats(proj, p00, p11, w, h, rank,
+    order = front_to_back_order(proj.depth)
+    proj = jax.tree_util.tree_map(lambda a: a[order], proj)
+    binning = bin_splats(proj, p00, p11, w, h,
                          tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                          max_tiles_per_splat=cfg.max_tiles_per_splat)
     ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)

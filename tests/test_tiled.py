@@ -10,7 +10,8 @@ import pytest
 from fourdgs.core.camera import Camera
 from fourdgs.render import dense, pipeline
 from fourdgs.render.pipeline import RenderConfig
-from fourdgs.render.sort import front_to_back_rank, inverse_permutation
+from fourdgs.render.sort import (front_to_back_order, front_to_back_rank,
+                                 inverse_permutation)
 from fourdgs.render.tiles import bin_splats, tile_grid
 from fourdgs.render.project import project_splats
 from fourdgs.splats import gaussians as G
@@ -38,8 +39,10 @@ class TestBinning:
         proj = project_splats(splats.position, splats.cov, splats.color,
                               jnp.ones((splats.count,)), CAM)
         pmat = CAM.proj_matrix()
-        rank = front_to_back_rank(proj.depth)
-        b = bin_splats(proj, pmat[0, 0], pmat[1, 1], CAM.width, CAM.height, rank)
+        order = front_to_back_order(proj.depth)
+        proj = jax.tree_util.tree_map(lambda a: a[order], proj)
+        rank = jnp.arange(proj.count, dtype=jnp.int32)
+        b = bin_splats(proj, pmat[0, 0], pmat[1, 1], CAM.width, CAM.height)
         ny, nx = tile_grid(CAM.width, CAM.height)
         ts = np.asarray(b.tile_start)
         assert ts.shape == (ny * nx + 1,)
