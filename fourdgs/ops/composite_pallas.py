@@ -206,6 +206,191 @@ def _squeeze_kernel(inner, counts_ref, rec_ref, kx_ref, ky_ref, out_ref):
 
 
 # ---------------------------------------------------------------------------
+# hand-written backward kernel
+# ---------------------------------------------------------------------------
+#
+# With splats front-to-back and per pixel
+#     C   = sum_i alpha_i c_i T_i,   A = sum_i alpha_i^2 T_i,
+#     T_i = prod_{j<i} (1 - alpha_j),   T_fin = prod_i (1 - alpha_i)
+# the cotangents are
+#     dL/dalpha_i = g_C . c_i T_i + g_A 2 alpha_i T_i
+#                   - (g_C . S_C,i + g_A S_A,i + g_T T_fin) / (1 - alpha_i)
+# where S_X,i = sum_{j>i} (contributions of X) are SUFFIX sums. Instead of a
+# reverse walk with a transmittance division ladder (0/0 at saturated
+# pixels), the kernel re-runs the forward walk and uses the prefix-difference
+# identity S_i = total - prefix_incl_i with the totals taken from the saved
+# forward outputs — bitwise-consistent with the forward early exit.
+
+def _incl_scan_sum(x, row_ids):
+    s = x
+    shift = 1
+    while shift < CHUNK:
+        y = pltpu.roll(s, shift, axis=0)
+        s = s + jnp.where(row_ids >= shift, y, 0.0)
+        shift *= 2
+    return s
+
+
+def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, fout_ref,
+                          g_ref, drec_ref):
+    """One tile backward. rec (F, M); kx/ky (1, P); fout (8, P) saved forward
+    outputs; g (8, P) upstream cotangents; drec (F, M) out."""
+    t = pl.program_id(0)
+    n = counts_ref[t]
+    dtype = drec_ref.dtype
+
+    kx = kx_ref[:]
+    ky = ky_ref[:]
+    gr = g_ref[0:1, :]
+    gg = g_ref[1:2, :]
+    gb = g_ref[2:3, :]
+    ga = g_ref[3:4, :]
+    gt = g_ref[4:5, :]
+    r_tot = fout_ref[0:1, :]
+    g_tot = fout_ref[1:2, :]
+    b_tot = fout_ref[2:3, :]
+    a_tot = fout_ref[3:4, :]
+    t_fin = fout_ref[4:5, :]
+
+    drec_ref[...] = jnp.zeros(drec_ref.shape, dtype)
+
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PTILE_P), 0)
+    gt_tfin = gt * t_fin
+
+    n_chunks = jax.lax.div(n + CHUNK - 1, CHUNK)
+
+    def body(c, carry):
+        pref_r, pref_g, pref_b, pref_a, trans = carry   # each (1, P)
+        off = pl.multiple_of(c * CHUNK, CHUNK)
+        rec_c = rec_ref[:, pl.ds(off, CHUNK)]
+        rec = jnp.transpose(rec_c)                      # (CHUNK, F)
+
+        sx = rec[:, _C_SX:_C_SX + 1]
+        sy = rec[:, _C_SY:_C_SY + 1]
+        v0x = rec[:, _C_V0X:_C_V0X + 1]
+        v0y = rec[:, _C_V0Y:_C_V0Y + 1]
+        il0 = rec[:, _C_IL0:_C_IL0 + 1]
+        il1 = rec[:, _C_IL1:_C_IL1 + 1]
+        a_eff = rec[:, _C_AEFF:_C_AEFF + 1]
+        cr = rec[:, _C_R:_C_R + 1]
+        cg = rec[:, _C_G:_C_G + 1]
+        cb = rec[:, _C_B:_C_B + 1]
+
+        # Recompute the forward quantities (identical arithmetic).
+        dx = kx - sx
+        dy = ky - sy
+        e0 = v0x * dx + v0y * dy
+        e1 = v0y * dx - v0x * dy
+        n0 = e0 * il0
+        n1 = e1 * il1
+        q = 64.0 * (n0 * n0 + n1 * n1)
+        w = jnp.exp(-0.5 * q)
+        cover = (jnp.abs(n0) <= 0.5) & (jnp.abs(n1) <= 0.5) & (w >= 1e-4)
+        aw = a_eff * w
+        alpha = jnp.where(cover, aw, 0.0)
+        alpha = jnp.minimum(alpha, ALPHA_MAX)
+
+        one_m = 1.0 - alpha
+        cp = one_m
+        shift = 1
+        while shift < CHUNK:
+            y = pltpu.roll(cp, shift, axis=0)
+            cp = cp * jnp.where(row_ids >= shift, y, 1.0)
+            shift *= 2
+        excl = jnp.where(row_ids >= 1, pltpu.roll(cp, 1, axis=0), 1.0)
+        t_i = trans * excl                              # (CHUNK, P)
+        wgt = alpha * t_i
+
+        # Inclusive prefixes (carry + within-chunk scans).
+        incl_r = pref_r + _incl_scan_sum(wgt * cr, row_ids)
+        incl_g = pref_g + _incl_scan_sum(wgt * cg, row_ids)
+        incl_b = pref_b + _incl_scan_sum(wgt * cb, row_ids)
+        incl_a = pref_a + _incl_scan_sum(alpha * wgt, row_ids)
+
+        num = (gr * (r_tot - incl_r) + gg * (g_tot - incl_g)
+               + gb * (b_tot - incl_b) + ga * (a_tot - incl_a) + gt_tfin)
+        d_alpha = (gr * cr + gg * cg + gb * cb) * t_i \
+            + ga * 2.0 * alpha * t_i - num / one_m
+
+        live = (cover & (aw < ALPHA_MAX)).astype(dtype)
+        d_aw = d_alpha * live
+        d_aeff = jnp.sum(d_aw * w, axis=1, keepdims=True)       # (CHUNK, 1)
+        d_q = d_aw * a_eff * w * (-0.5)
+        dn0 = 128.0 * n0 * d_q
+        dn1 = 128.0 * n1 * d_q
+        d_sx = jnp.sum(-dn0 * v0x * il0 - dn1 * v0y * il1, axis=1, keepdims=True)
+        d_sy = jnp.sum(-dn0 * v0y * il0 + dn1 * v0x * il1, axis=1, keepdims=True)
+        d_v0x = jnp.sum(dn0 * dx * il0 - dn1 * dy * il1, axis=1, keepdims=True)
+        d_v0y = jnp.sum(dn0 * dy * il0 + dn1 * dx * il1, axis=1, keepdims=True)
+        d_il0 = jnp.sum(dn0 * e0, axis=1, keepdims=True)
+        d_il1 = jnp.sum(dn1 * e1, axis=1, keepdims=True)
+        d_cr = jnp.sum(gr * wgt, axis=1, keepdims=True)
+        d_cg = jnp.sum(gg * wgt, axis=1, keepdims=True)
+        d_cb = jnp.sum(gb * wgt, axis=1, keepdims=True)
+
+        zero = jnp.zeros_like(d_cr)
+        d_cols = jnp.concatenate(
+            [d_sx, d_sy, d_v0x, d_v0y, d_il0, d_il1, d_cr, d_cg, d_cb,
+             d_aeff] + [zero] * (_F - 10), axis=1)     # (CHUNK, F)
+        drec_ref[:, pl.ds(off, CHUNK)] = jnp.transpose(d_cols)
+
+        return (incl_r[CHUNK - 1:CHUNK, :], incl_g[CHUNK - 1:CHUNK, :],
+                incl_b[CHUNK - 1:CHUNK, :], incl_a[CHUNK - 1:CHUNK, :],
+                trans * cp[CHUNK - 1:CHUNK, :])
+
+    zeros = jnp.zeros((1, PTILE_P), dtype)
+    ones = jnp.ones((1, PTILE_P), dtype)
+
+    def cond(state):
+        c, (_, _, _, _, trans) = state
+        return jnp.logical_and(c < n_chunks, jnp.max(trans) > 1e-6)
+
+    def step(state):
+        c, carry = state
+        return c + 1, body(c, carry)
+
+    jax.lax.while_loop(cond, step,
+                       (jnp.int32(0), (zeros, zeros, zeros, zeros, ones)))
+
+
+def _composite_bwd_pallas(records, counts, kx, ky, fwd_out, g):
+    t_tiles, f, m = records.shape
+    dtype = records.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, _F, m), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _F, m), lambda t, c: (t, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    def kernel(counts_ref, rec_ref, kx_ref, ky_ref, fout_ref, g_ref, out_ref):
+        _composite_bwd_kernel(counts_ref, rec_ref.at[0], kx_ref.at[0],
+                              ky_ref.at[0], fout_ref.at[0], g_ref.at[0],
+                              out_ref.at[0])
+
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_tiles, _F, m), dtype),
+        interpret=interpret,
+    )(counts, records, kx, ky, fwd_out, g)
+
+
+# ---------------------------------------------------------------------------
 # differentiable twin + custom VJP
 # ---------------------------------------------------------------------------
 
@@ -253,14 +438,13 @@ def composite_records(records, counts, kx, ky):
 
 
 def _composite_fwd(records, counts, kx, ky):
-    return _composite_pallas_raw(records, counts, kx, ky), (records, counts, kx, ky)
+    out = _composite_pallas_raw(records, counts, kx, ky)
+    return out, (records, counts, kx, ky, out)
 
 
 def _composite_bwd(res, g):
-    records, counts, kx, ky = res
-    _, vjp = jax.vjp(lambda r: _xla_composite_from_records(r, counts, kx, ky),
-                     records)
-    (d_records,) = vjp(g)
+    records, counts, kx, ky, fwd_out = res
+    d_records = _composite_bwd_pallas(records, counts, kx, ky, fwd_out, g)
     return d_records, None, None, None
 
 
