@@ -204,3 +204,39 @@ class TestPallasInterpret:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestPallasBackwardKernel:
+    def test_bwd_kernel_matches_twin_autodiff(self):
+        """The hand-written backward kernel vs jax.grad of the XLA twin on
+        identical gated records (interpret mode)."""
+        import jax
+        import jax.numpy as jnp
+        from fourdgs.ops.composite_pallas import (_F, _C_AEFF,
+                                                  _xla_composite_from_records,
+                                                  composite_records)
+        t_tiles, m, p = 2, 256, 1024
+        ks = jax.random.split(jax.random.PRNGKey(0), 9)
+        rec = jnp.zeros((t_tiles, _F, m))
+        rec = rec.at[:, 0, :].set(jax.random.uniform(ks[0], (t_tiles, m), minval=-0.3, maxval=0.3))
+        rec = rec.at[:, 1, :].set(jax.random.uniform(ks[1], (t_tiles, m), minval=-0.3, maxval=0.3))
+        ang = jax.random.uniform(ks[2], (t_tiles, m)) * 6.28
+        rec = rec.at[:, 2, :].set(jnp.cos(ang))
+        rec = rec.at[:, 3, :].set(jnp.sin(ang))
+        rec = rec.at[:, 4, :].set(1.0 / jax.random.uniform(ks[3], (t_tiles, m), minval=0.05, maxval=0.4))
+        rec = rec.at[:, 5, :].set(1.0 / jax.random.uniform(ks[4], (t_tiles, m), minval=0.05, maxval=0.4))
+        rec = rec.at[:, 6:9, :].set(jax.random.uniform(ks[5], (t_tiles, 3, m)))
+        counts = jnp.array([256, 77], jnp.int32)
+        live = (jnp.arange(m)[None, :] < counts[:, None]).astype(jnp.float32)
+        rec = rec.at[:, _C_AEFF, :].set(
+            jax.random.uniform(ks[6], (t_tiles, m), minval=0.1, maxval=0.9) * live)
+        kx = jax.random.uniform(ks[7], (t_tiles, 1, p), minval=-0.4, maxval=0.4)
+        ky = jax.random.uniform(ks[8], (t_tiles, 1, p), minval=-0.4, maxval=0.4)
+        cot = jax.random.normal(jax.random.PRNGKey(42), (t_tiles, 8, p)) * 0.1
+
+        gp = jax.grad(lambda r: jnp.sum(composite_records(r, counts, kx, ky) * cot))(rec)
+        gx = jax.grad(lambda r: jnp.sum(
+            _xla_composite_from_records(r, counts, kx, ky).reshape(t_tiles, 8, p) * cot))(rec)
+        mask = np.asarray(live)[:, None, :]
+        np.testing.assert_allclose(np.asarray(gp) * mask, np.asarray(gx) * mask,
+                                   atol=1e-5)
