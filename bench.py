@@ -75,10 +75,10 @@ def main() -> int:
     if backend == "pallas":
         cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
                            max_splats_per_tile=2048, max_tiles_per_splat=4,
-                           splat_chunk=128)
+                           splat_chunk=128, quantized_depth_sort=True)
     else:
         cfg = RenderConfig(max_splats_per_tile=2048, max_tiles_per_splat=4,
-                           splat_chunk=128)
+                           splat_chunk=128, quantized_depth_sort=True)
 
     render = jax.jit(lambda s, t: render_params4d_packed(s, camera, t, cfg=cfg))
 

@@ -1,0 +1,118 @@
+"""Extended benchmark suite (BASELINE.md metrics beyond the headline line):
+
+  * frames/s + splats/s across scene sizes (forward)
+  * bwd/fwd time ratio (full gradient step vs forward render)
+  * multi-device scaling efficiency of the sharded render/train step
+    (on real chips when available; on the virtual CPU mesh this measures
+    partitioning overhead, not speedup — labeled accordingly)
+
+Prints a JSON object per line (one per measurement). The driver-consumed
+single-line benchmark stays in bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def timed(fn, *args, reps=3):
+    import jax
+    jax.block_until_ready(fn(*args))
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        jax.block_until_ready(fn(*args))
+        best = min(best, time.time() - t0)
+    return best
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from bench import build_cube_scene
+    from fourdgs.core.camera import Camera
+    from fourdgs.render.pipeline import RenderConfig, render_params4d_packed
+    from fourdgs.splats import packed as PK
+
+    on_tpu = jax.default_backend() == "tpu"
+    sizes = [100_000, 1_000_000, 10_000_000] if on_tpu else [20_000, 100_000]
+    backend = os.environ.get("FOURDGS_BENCH_BACKEND", "pallas")
+    width, height = (1920, 1088) if on_tpu else (512, 512)
+
+    camera = Camera.create(position=(420.0, 300.0, 420.0),
+                           orientation=(-1.0, -0.7, -1.0),
+                           far=5000.0, width=width, height=height)
+    cfg = RenderConfig(tile_h=8, tile_w=128, backend=backend,
+                       max_splats_per_tile=2048, max_tiles_per_splat=4,
+                       splat_chunk=128)
+
+    # --- forward scaling over scene size -------------------------------
+    for n in sizes:
+        params = build_cube_scene(n)
+        jax.block_until_ready(params)
+        render = jax.jit(lambda s: render_params4d_packed(s, camera, 0.0, cfg=cfg))
+        fwd = timed(render, params)
+        print(json.dumps({
+            "metric": f"forward frame @{n} splats {width}x{height} ({backend})",
+            "value": round(1.0 / fwd, 3), "unit": "fps",
+            "splats_per_s": round(n / fwd / 1e6, 1)}), flush=True)
+
+        # --- bwd/fwd ratio at the small/medium sizes -------------------
+        if n <= 1_000_000:
+            def loss(p):
+                img = render_params4d_packed(p, camera, 0.0, cfg=cfg)
+                return jnp.mean(img[..., :3] ** 2)
+            grad = jax.jit(jax.grad(loss))
+            bwd = timed(grad, params)
+            print(json.dumps({
+                "metric": f"grad step @{n} splats ({backend})",
+                "value": round(bwd / fwd, 2), "unit": "bwd/fwd ratio",
+                "grad_s": round(bwd, 4)}), flush=True)
+        del params
+
+    # --- multi-device scaling ------------------------------------------
+    n_dev = len(jax.devices())
+    if n_dev > 1:
+        from fourdgs.parallel import distributed as D
+        from fourdgs.parallel.mesh import make_mesh
+
+        cam_s = Camera.create(position=(0, 0, 0), width=256, height=256)
+        cfg_s = RenderConfig(max_splats_per_tile=512, splat_chunk=64)
+        n = 100_000
+        ks = jax.random.split(jax.random.PRNGKey(0), 6)
+        params = dict(
+            position4=jnp.concatenate([
+                jax.random.uniform(ks[0], (n, 3), minval=-30, maxval=30),
+                jnp.zeros((n, 1))], -1).at[:, 2].add(-80.0),
+            quat=jax.random.normal(ks[2], (n, 4)),
+            scale3=jnp.full((n, 3), 1.0),
+            lifetime=jnp.full((n,), 10.0), fade=jnp.full((n,), 0.5),
+            velocity=jnp.zeros((n, 3)),
+            color=jax.random.uniform(ks[5], (n, 4), minval=0.2, maxval=1.0))
+        target = jnp.zeros((cam_s.height, cam_s.width, 4))
+        opt = optax.adam(1e-3)
+        times = {}
+        for nd in [1, n_dev]:
+            mesh = make_mesh(jax.devices()[:nd])
+            step = jax.jit(D.make_sharded_train_step(cam_s, mesh, opt, cfg_s))
+            st = opt.init(params)
+            run = lambda: step(params, st, target, 0.0)[2]
+            times[nd] = timed(run)
+        eff = times[1] / (times[n_dev] * n_dev)
+        print(json.dumps({
+            "metric": f"train-step scaling 1 -> {n_dev} devices "
+                      f"({'real chips' if on_tpu else 'virtual CPU mesh: overhead only'})",
+            "value": round(eff, 3), "unit": "scaling efficiency",
+            "t1_s": round(times[1], 4), f"t{n_dev}_s": round(times[n_dev], 4)}),
+            flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

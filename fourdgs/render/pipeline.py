@@ -47,6 +47,10 @@ class RenderConfig:
     splat_chunk: int = 64            # composite chunk (scan step) size
     backend: str = "xla"             # "xla" | "pallas"
     background: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 1.0)
+    # 10M+ fast path: fused (tile | quantized-depth) single-key sort instead
+    # of exact argsort + permutation (see render/tiles.py). Exact ordering
+    # differences are below visual precision; tests use the exact path.
+    quantized_depth_sort: bool = False
 
 
 def _gather_tile_lists(proj: Projected, binning, cfg: RenderConfig,
@@ -141,11 +145,15 @@ def render_projected(proj: Projected, camera: Camera,
     p00, p11 = pmat[0, 0], pmat[1, 1]
     w, h = camera.width, camera.height
 
-    order = front_to_back_order(proj.depth)
-    proj = jax.tree_util.tree_map(lambda a: a[order], proj)
+    ny0, nx0 = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
+    use_quant = cfg.quantized_depth_sort and (ny0 * nx0 < (1 << 11) - 1)
+    if not use_quant:
+        order = front_to_back_order(proj.depth)
+        proj = jax.tree_util.tree_map(lambda a: a[order], proj)
     binning = bin_splats(proj, p00, p11, w, h,
                          tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                         max_tiles_per_splat=cfg.max_tiles_per_splat)
+                         max_tiles_per_splat=cfg.max_tiles_per_splat,
+                         quantized_depth=use_quant)
     ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
     tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg, ny * nx)
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)

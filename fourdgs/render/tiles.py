@@ -50,15 +50,32 @@ class TileBinning:
     overflowed: jax.Array
 
 
+QUANT_DEPTH_BITS = 20
+
+
 def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                tile_h: int = TILE_H, tile_w: int = TILE_W,
-               max_tiles_per_splat: int = 16) -> TileBinning:
+               max_tiles_per_splat: int = 16,
+               quantized_depth: bool = False) -> TileBinning:
     """Build sorted (tile, splat) pairs.
 
-    PRECONDITION: `proj` must already be permuted into front-to-back order
-    (render/sort.front_to_back_order). Pairs are emitted in splat order, so a
-    single STABLE sort by tile id leaves every tile's slice depth-ordered —
-    half the sort traffic of carrying an explicit rank key.
+    Two orderings:
+
+    * quantized_depth=False (exact, default): `proj` must already be
+      permuted into front-to-back order (render/sort.front_to_back_order);
+      pairs are emitted in splat order and ONE stable sort by tile id leaves
+      every tile's slice depth-ordered.
+
+    * quantized_depth=True (the 10M+ fast path): skips the O(N) argsort and
+      the 14-array permutation entirely (measured ~1 s at 10M splats —
+      random-access gathers dominate). Each pair's sort key packs
+      (tile_id << 20) | top-20-bits-of-float(distance): positive-float bit
+      patterns are monotone as integers, so one single-key sort yields
+      tile-major, front-to-back order. Depth ties within ~6 significant
+      digits break by splat index (the reference's radix sort breaks exact
+      ties the same way, drawn mirror-ordered; visually indistinguishable).
+      Requires num_tiles < 2^11 - 1 (true for 1080p at 8x128 tiles); callers
+      fall back to the exact path otherwise.
     """
     n = proj.count
     ny, nx = tile_grid(width, height, tile_h, tile_w)
@@ -98,17 +115,34 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
     splat_idx = jnp.broadcast_to(
         jnp.arange(n, dtype=jnp.int32)[:, None], tid.shape)
 
-    tid = tid.reshape(-1)
-    splat_idx = splat_idx.reshape(-1)
-
-    # One fused STABLE sort by tile id; splat (= depth) order within each
-    # tile is preserved by stability.
-    tid_s, splat_s = jax.lax.sort((tid, splat_idx), num_keys=1,
-                                  is_stable=True)
-
-    # CSR offsets per tile.
-    tile_start = jnp.searchsorted(tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-                                  side="left").astype(jnp.int32)
+    if quantized_depth:
+        assert num_tiles < (1 << 11) - 1, (
+            "quantized_depth needs num_tiles < 2047; use the exact path")
+        # distance = 1/depth-key; positive-float bits are integer-monotone.
+        dist = 1.0 / jnp.maximum(proj.depth, 1e-30)
+        dbits = jax.lax.bitcast_convert_type(dist, jnp.int32) >> (32 - QUANT_DEPTH_BITS)
+        dbits = jnp.clip(dbits, 0, (1 << QUANT_DEPTH_BITS) - 1)
+        key = (tid << QUANT_DEPTH_BITS) | dbits[:, None]
+        key = jnp.where(pair_live, key, jnp.iinfo(jnp.int32).max)
+        key = key.reshape(-1)
+        splat_idx = splat_idx.reshape(-1)
+        key_s, splat_s = jax.lax.sort((key, splat_idx), num_keys=1,
+                                      is_stable=True)
+        tid_s = jnp.where(key_s == jnp.iinfo(jnp.int32).max,
+                          num_tiles, key_s >> QUANT_DEPTH_BITS)
+        bounds = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
+                  << QUANT_DEPTH_BITS)
+        tile_start = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
+    else:
+        tid = tid.reshape(-1)
+        splat_idx = splat_idx.reshape(-1)
+        # One fused STABLE sort by tile id; splat (= depth) order within
+        # each tile is preserved by stability.
+        tid_s, splat_s = jax.lax.sort((tid, splat_idx), num_keys=1,
+                                      is_stable=True)
+        tile_start = jnp.searchsorted(
+            tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32),
+            side="left").astype(jnp.int32)
 
     return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
                        tile_start=tile_start, overflowed=overflowed)

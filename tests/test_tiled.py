@@ -133,3 +133,23 @@ class TestTiledParity:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestQuantizedSort:
+    def test_quantized_close_to_exact(self):
+        splats = make_scene(jax.random.PRNGKey(7))
+        cfg_q = RenderConfig(max_splats_per_tile=256, splat_chunk=32,
+                             quantized_depth_sort=True)
+        img_q = np.asarray(pipeline.render_splats3d(splats, CAM, cfg=cfg_q))
+        img_e = np.asarray(pipeline.render_splats3d(splats, CAM, cfg=CFG))
+        # Only exact-depth-tie ordering can differ; random scene has none.
+        np.testing.assert_allclose(img_q, img_e, atol=1e-4)
+
+    def test_quantized_depth_monotone(self):
+        # float-bit trick: larger distance => larger 20-bit key.
+        import jax.numpy as jnp
+        from fourdgs.render.tiles import QUANT_DEPTH_BITS
+        d = jnp.sort(jax.random.uniform(jax.random.PRNGKey(0), (1000,),
+                                        minval=1e-3, maxval=1e4))
+        bits = jax.lax.bitcast_convert_type(d, jnp.int32) >> (32 - QUANT_DEPTH_BITS)
+        assert (np.diff(np.asarray(bits)) >= 0).all()
