@@ -90,6 +90,10 @@ def composite_dense(proj: Projected, px: jax.Array, py: jax.Array,
         rgb_acc, a_acc, log_t = carry
         weight, cover = pixel_weight(chunk_proj, pxf, pyf, p00, p11)  # (C, P)
         gate = (cover & chunk_proj.valid[:, None]).astype(dtype)
+        # Zero-padding splats have l = 0 and produce 0/0 = NaN weights at
+        # k = 0; coverage is False there, so gating the weight (not just
+        # alpha) keeps the premultiplied path NaN-free.
+        weight = jnp.where(cover, weight, 0.0)
         alpha = chunk_proj.opacity[:, None] * weight * chunk_proj.a[:, None] * gate
         alpha = jnp.clip(alpha, 0.0, ALPHA_MAX)
         log1m = jnp.log1p(-alpha)

@@ -52,8 +52,12 @@ def profile_pipeline(params: Dict, camera, t, cfg, reps: int = 3) -> List[Tuple[
         return project_components(mx, my, mz, cov3, colors, opacity, camera,
                                   sort_mean=sort_mean)
 
+    quant = getattr(cfg, "quantized_depth_sort", False)
+
     def upto_order(ps):
         proj = upto_project(ps)
+        if quant:
+            return proj
         order = front_to_back_order(proj.depth)
         return jax.tree_util.tree_map(lambda a: a[order], proj)
 
@@ -61,13 +65,15 @@ def profile_pipeline(params: Dict, camera, t, cfg, reps: int = 3) -> List[Tuple[
         proj = upto_order(ps)
         return bin_splats(proj, p00, p11, camera.width, camera.height,
                           tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                          max_tiles_per_splat=cfg.max_tiles_per_splat)
+                          max_tiles_per_splat=cfg.max_tiles_per_splat,
+                          quantized_depth=quant)
 
     def upto_gather(ps):
         proj = upto_order(ps)
         binning = bin_splats(proj, p00, p11, camera.width, camera.height,
                              tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                             max_tiles_per_splat=cfg.max_tiles_per_splat)
+                             max_tiles_per_splat=cfg.max_tiles_per_splat,
+                             quantized_depth=quant)
         return _gather_tile_lists(proj, binning, cfg, None)
 
     def full(ps):

@@ -249,3 +249,19 @@ class TestDense2D:
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestPremultiplied:
+    def test_premultiplied_no_nan_and_dimmer(self):
+        # The 3D-path blend (Splat3DFragShaderFull.GLSL:22) scales rgb by the
+        # Gaussian weight; padding splats must not inject NaN (regression).
+        from fourdgs.scenes import scenes as S
+        splats, st = S.gaussians_3d()
+        cam = Camera.create(position=st.camera_position,
+                            orientation=st.camera_orientation,
+                            width=64, height=64)
+        pre = np.asarray(dense.render_splats3d(splats, cam, premultiplied=True))
+        straight = np.asarray(dense.render_splats3d(splats, cam))
+        assert np.isfinite(pre).all()
+        assert pre[..., :3].sum() < straight[..., :3].sum()
+        assert pre[..., :3].max() > 0.01
