@@ -20,13 +20,12 @@ Everything is one jit; there is no host in the loop.
 
 from __future__ import annotations
 
-import dataclasses
 from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from fourdgs.core.camera import Camera
@@ -35,9 +34,7 @@ from fourdgs.render.pipeline import RenderConfig, _composite_tiles_xla, _gather_
 from fourdgs.render.project import project_splats
 from fourdgs.render.sort import front_to_back_order
 from fourdgs.render.tiles import bin_splats, tile_grid, tile_pixel_ndc
-from fourdgs.splats.gaussians import (Splats4D, build_cov4d_motion,
-                                      mean_in_time_sortkey, slice_cov4d,
-                                      temporal_opacity)
+from fourdgs.splats.gaussians import Splats4D, mean_in_time_sortkey
 
 MESH_AXES = (DATA_AXIS, TILE_AXIS)
 

@@ -16,7 +16,7 @@ reduce-scatter inserted by AD — no hand-written collectives needed.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import numpy as np

@@ -21,7 +21,6 @@ shapes.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax

@@ -12,13 +12,11 @@ Vectorized over all segments at once; composable over any rendered image.
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from fourdgs.core.camera import Camera, pixel_centers_ndc
+from fourdgs.core.camera import Camera
 
 
 def _project_points(pts: jax.Array, camera: Camera):

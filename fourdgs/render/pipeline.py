@@ -19,15 +19,14 @@ to every splat parameter.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from fourdgs.core.camera import Camera
-from fourdgs.render.project import (Projected, pixel_weight,
-                                    project_components, project_splats)
+from fourdgs.render.project import (Projected, project_components,
+                                    project_splats)
 from fourdgs.render.sort import front_to_back_order
 from fourdgs.render.tiles import (TILE_H, TILE_W, assemble_image, bin_splats,
                                   tile_grid, tile_pixel_ndc)

@@ -18,7 +18,6 @@ searchsorted over the sorted tile ids.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

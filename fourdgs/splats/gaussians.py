@@ -15,7 +15,6 @@ GLM column-major constructions have been de-transposed.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

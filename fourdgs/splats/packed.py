@@ -17,8 +17,7 @@ matrices are stored as their upper triangles:
 
 from __future__ import annotations
 
-import dataclasses
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

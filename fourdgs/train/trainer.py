@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from functools import partial
 from typing import Callable, Dict, Iterable, List, Optional, Tuple
 
 import jax

@@ -5,7 +5,6 @@ printers used for debugging)."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 

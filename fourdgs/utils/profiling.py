@@ -33,13 +33,11 @@ def profile_pipeline(params: Dict, camera, t, cfg, reps: int = 3) -> List[Tuple[
     a jit that runs the pipeline *up to* that stage, so differences between
     consecutive rows approximate per-stage cost (fusion means stages are not
     perfectly separable — treat as a guide)."""
-    import jax.numpy as jnp
-
-    from fourdgs.render.pipeline import (RenderConfig, _gather_tile_lists,
+    from fourdgs.render.pipeline import (_gather_tile_lists,
                                          render_params4d_packed)
     from fourdgs.render.project import project_components
     from fourdgs.render.sort import front_to_back_order
-    from fourdgs.render.tiles import bin_splats, tile_grid
+    from fourdgs.render.tiles import bin_splats
     from fourdgs.splats import packed as PK
 
     pmat = camera.proj_matrix()

@@ -59,7 +59,7 @@ def main(argv=None):
     from fourdgs.render import pipeline as pipe_mod
     from fourdgs.render.pipeline import RenderConfig
     from fourdgs.scenes.scenes import SCENES
-    from fourdgs.splats.gaussians import Splats2D, Splats3D, Splats4D
+    from fourdgs.splats.gaussians import Splats2D, Splats3D
 
     if args.list:
         for name in SCENES:
@@ -76,8 +76,6 @@ def main(argv=None):
     bg = tuple(map(float, args.background.split(",")))
     cam = Camera.create(position=campos, orientation=camdir,
                         width=args.width, height=args.height)
-
-    import jax.numpy as jnp
 
     if args.backend == "pallas":
         cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas", background=bg)
