@@ -25,9 +25,12 @@ import time
 
 
 def build_cube_scene(n: int, seed: int = 0):
-    """n 4D splats uniform in a 400^3 cube (the README workload), gentle
-    anisotropy, moderate opacity, static in time (velocity 0) — matching the
-    batch-render screenshot's character."""
+    """n 4D splats uniform in a 400^3 cube (the README workload), moderate
+    opacity, static in time (velocity 0). Scales give a few-pixel visible
+    footprint at the bench camera distance, matching the solid, saturated
+    look of the reference's batch-render screenshot (screenshot_05) — and
+    keeping per-pixel splat lists finite (sub-pixel dust never saturates
+    transmittance, which would make any per-tile capacity lossy)."""
     import jax
     import jax.numpy as jnp
 
@@ -41,7 +44,7 @@ def build_cube_scene(n: int, seed: int = 0):
         pt=z,
         qw=jax.random.normal(ks[3], (n,)), qx=jax.random.normal(ks[4], (n,)),
         qy=jax.random.normal(ks[5], (n,)), qz=jax.random.normal(ks[6], (n,)),
-        sx=u(7, 0.8, 2.4), sy=u(8, 0.8, 2.4), sz=u(9, 0.8, 2.4),
+        sx=u(7, 3.0, 8.0), sy=u(8, 3.0, 8.0), sz=u(9, 3.0, 8.0),
         lifetime=jnp.full((n,), 50.0), fade=jnp.full((n,), 0.5),
         vx=z, vy=z, vz=z,
         cr=u(10, 0.15, 1.0), cg=u(11, 0.15, 1.0),
