@@ -48,7 +48,7 @@ def build_cube_scene(n: int, seed: int = 0):
         lifetime=jnp.full((n,), 50.0), fade=jnp.full((n,), 0.5),
         vx=z, vy=z, vz=z,
         cr=u(10, 0.15, 1.0), cg=u(11, 0.15, 1.0),
-        cb=u(10, 0.15, 1.0) * 0.5 + 0.3, ca=u(11, 0.15, 1.0),
+        cb=u(10, 0.15, 1.0) * 0.5 + 0.3, ca=u(11, 0.6, 1.0),
     )
 
 
@@ -78,7 +78,8 @@ def main() -> int:
     if backend == "pallas":
         cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
                            max_splats_per_tile=2048, max_tiles_per_splat=4,
-                           splat_chunk=128, quantized_depth_sort=True)
+                           splat_chunk=128, quantized_depth_sort=True,
+                           deepening_passes=3, deepening_fraction=0.25)
     else:
         cfg = RenderConfig(max_splats_per_tile=2048, max_tiles_per_splat=4,
                            splat_chunk=128, quantized_depth_sort=True)

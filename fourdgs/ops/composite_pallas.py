@@ -79,8 +79,10 @@ def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
     return gathered
 
 
-def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, out_ref):
+def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref, out_ref):
     """One tile. rec (F, M) VMEM; kx/ky (1, P) pixel coords in k units;
+    carry (8, P) accumulators from an earlier (nearer) depth slab
+    (rows r, g, b, a, transmittance; identity = zeros with trans 1);
     out (8, P): rows r, g, b, a, transmittance, 0, 0, 0."""
     t = pl.program_id(0)
     n = counts_ref[t]
@@ -140,8 +142,8 @@ def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, out_ref):
         trans = trans * cp[CHUNK - 1:CHUNK, :]
         return r_acc, g_acc, b_acc, a_acc, trans
 
-    zeros = jnp.zeros((1, PTILE_P), dtype)
-    ones = jnp.ones((1, PTILE_P), dtype)
+    init = (carry_ref[0:1, :], carry_ref[1:2, :], carry_ref[2:3, :],
+            carry_ref[3:4, :], carry_ref[4:5, :])
 
     # Early termination: once every pixel in the tile is opaque
     # (transmittance below the fragment-discard threshold), remaining chunks
@@ -156,7 +158,7 @@ def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, out_ref):
         return c + 1, body(c, carry)
 
     _, (r_acc, g_acc, b_acc, a_acc, trans) = jax.lax.while_loop(
-        cond, step, (jnp.int32(0), (zeros, zeros, zeros, zeros, ones)))
+        cond, step, (jnp.int32(0), init))
 
     out_ref[0:1, :] = r_acc
     out_ref[1:2, :] = g_acc
@@ -166,9 +168,18 @@ def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, out_ref):
     out_ref[5:8, :] = jnp.zeros((3, PTILE_P), dtype)
 
 
+def identity_carry(t_tiles: int, dtype=jnp.float32) -> jax.Array:
+    """(T, 8, P) carry for the first depth slab: empty accumulators, full
+    transmittance."""
+    c = jnp.zeros((t_tiles, 8, PTILE_P), dtype)
+    return c.at[:, 4, :].set(1.0)
+
+
 def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
-                          kx: jax.Array, ky: jax.Array) -> jax.Array:
-    """records (T, F, M), counts (T,), kx/ky (T, 1, P) -> (T, 8, P)."""
+                          kx: jax.Array, ky: jax.Array,
+                          carry: jax.Array) -> jax.Array:
+    """records (T, F, M), counts (T,), kx/ky (T, 1, P), carry (T, 8, P)
+    -> (T, 8, P)."""
     t_tiles, f, m = records.shape
     assert f == _F and m % CHUNK == 0
     dtype = records.dtype
@@ -182,6 +193,8 @@ def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
             pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
@@ -197,12 +210,14 @@ def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, 8, PTILE_P), dtype),
         interpret=interpret,
-    )(counts, records, kx, ky)
+    )(counts, records, kx, ky, carry)
 
 
-def _squeeze_kernel(inner, counts_ref, rec_ref, kx_ref, ky_ref, out_ref):
+def _squeeze_kernel(inner, counts_ref, rec_ref, kx_ref, ky_ref, carry_ref,
+                    out_ref):
     """Adapt (1, ...) blocks to the inner kernel's unbatched view."""
-    inner(counts_ref, rec_ref.at[0], kx_ref.at[0], ky_ref.at[0], out_ref.at[0])
+    inner(counts_ref, rec_ref.at[0], kx_ref.at[0], ky_ref.at[0],
+          carry_ref.at[0], out_ref.at[0])
 
 
 # ---------------------------------------------------------------------------
@@ -231,9 +246,10 @@ def _incl_scan_sum(x, row_ids):
     return s
 
 
-def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, fout_ref,
-                          g_ref, drec_ref):
-    """One tile backward. rec (F, M); kx/ky (1, P); fout (8, P) saved forward
+def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref,
+                          fout_ref, g_ref, drec_ref):
+    """One tile backward. rec (F, M); kx/ky (1, P); carry (8, P) incoming
+    accumulators (the forward pass's input); fout (8, P) saved forward
     outputs; g (8, P) upstream cotangents; drec (F, M) out."""
     t = pl.program_id(0)
     n = counts_ref[t]
@@ -338,8 +354,8 @@ def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, fout_ref,
                 incl_b[CHUNK - 1:CHUNK, :], incl_a[CHUNK - 1:CHUNK, :],
                 trans * cp[CHUNK - 1:CHUNK, :])
 
-    zeros = jnp.zeros((1, PTILE_P), dtype)
-    ones = jnp.ones((1, PTILE_P), dtype)
+    init = (carry_ref[0:1, :], carry_ref[1:2, :], carry_ref[2:3, :],
+            carry_ref[3:4, :], carry_ref[4:5, :])
 
     def cond(state):
         c, (_, _, _, _, trans) = state
@@ -349,11 +365,10 @@ def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, fout_ref,
         c, carry = state
         return c + 1, body(c, carry)
 
-    jax.lax.while_loop(cond, step,
-                       (jnp.int32(0), (zeros, zeros, zeros, zeros, ones)))
+    jax.lax.while_loop(cond, step, (jnp.int32(0), init))
 
 
-def _composite_bwd_pallas(records, counts, kx, ky, fwd_out, g):
+def _composite_bwd_pallas(records, counts, kx, ky, carry, fwd_out, g):
     t_tiles, f, m = records.shape
     dtype = records.dtype
 
@@ -371,15 +386,18 @@ def _composite_bwd_pallas(records, counts, kx, ky, fwd_out, g):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _F, m), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    def kernel(counts_ref, rec_ref, kx_ref, ky_ref, fout_ref, g_ref, out_ref):
+    def kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref, fout_ref,
+               g_ref, out_ref):
         _composite_bwd_kernel(counts_ref, rec_ref.at[0], kx_ref.at[0],
-                              ky_ref.at[0], fout_ref.at[0], g_ref.at[0],
-                              out_ref.at[0])
+                              ky_ref.at[0], carry_ref.at[0], fout_ref.at[0],
+                              g_ref.at[0], out_ref.at[0])
 
     interpret = jax.default_backend() != "tpu"
     return pl.pallas_call(
@@ -387,16 +405,16 @@ def _composite_bwd_pallas(records, counts, kx, ky, fwd_out, g):
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, _F, m), dtype),
         interpret=interpret,
-    )(counts, records, kx, ky, fwd_out, g)
+    )(counts, records, kx, ky, carry, fwd_out, g)
 
 
 # ---------------------------------------------------------------------------
 # differentiable twin + custom VJP
 # ---------------------------------------------------------------------------
 
-def _xla_composite_from_records(records, counts, kx, ky):
+def _xla_composite_from_records(records, counts, kx, ky, carry=None):
     """Mathematically identical XLA composite over the packed (T, F, M)
-    records — used for the backward pass (and as a cross-check in tests)."""
+    records — the kernel's differentiable cross-check in tests."""
     t_tiles, f, m = records.shape
     dtype = records.dtype
     kxf = kx.reshape(t_tiles, 1, -1)
@@ -421,6 +439,8 @@ def _xla_composite_from_records(records, counts, kx, ky):
     log1m = jnp.log1p(-alpha)
     t_excl = jnp.exp(jnp.cumsum(log1m, axis=1) - log1m)
     wgt = alpha * t_excl                                  # (T, M, P)
+    if carry is not None:
+        wgt = wgt * carry[:, 4:5, :].reshape(t_tiles, 1, -1)
     rgb = jnp.einsum("tmp,tcm->tcp", wgt, records[:, _C_R:_C_B + 1, :],
                      preferred_element_type=dtype)        # (T, 3, P)
     a_out = jnp.sum(alpha * wgt, axis=1)
@@ -428,24 +448,41 @@ def _xla_composite_from_records(records, counts, kx, ky):
     out = jnp.concatenate([
         rgb, a_out[:, None, :], trans[:, None, :],
         jnp.zeros((t_tiles, 3, rgb.shape[-1]), dtype)], axis=1)
+    if carry is not None:
+        out = out.at[:, 0:4, :].add(carry[:, 0:4, :].reshape(t_tiles, 4, -1))
+        out = out.at[:, 4:5, :].multiply(carry[:, 4:5, :].reshape(t_tiles, 1, -1))
     return out
 
 
 @jax.custom_vjp
-def composite_records(records, counts, kx, ky):
-    """(T, F, M) records -> (T, 8, P): rows r, g, b, a, transmittance."""
-    return _composite_pallas_raw(records, counts, kx, ky)
+def composite_records(records, counts, kx, ky, carry):
+    """(T, F, M) records + (T, 8, P) carry -> (T, 8, P): rows r, g, b, a,
+    transmittance. carry holds accumulators of an earlier (nearer) depth
+    slab; use identity_carry() for the first slab."""
+    return _composite_pallas_raw(records, counts, kx, ky, carry)
 
 
-def _composite_fwd(records, counts, kx, ky):
-    out = _composite_pallas_raw(records, counts, kx, ky)
-    return out, (records, counts, kx, ky, out)
+def _composite_fwd(records, counts, kx, ky, carry):
+    out = _composite_pallas_raw(records, counts, kx, ky, carry)
+    return out, (records, counts, kx, ky, carry, out)
 
 
 def _composite_bwd(res, g):
-    records, counts, kx, ky, fwd_out = res
-    d_records = _composite_bwd_pallas(records, counts, kx, ky, fwd_out, g)
-    return d_records, None, None, None
+    records, counts, kx, ky, carry, fwd_out = res
+    d_records = _composite_bwd_pallas(records, counts, kx, ky, carry,
+                                      fwd_out, g)
+    # Cotangent w.r.t. the incoming carry (cheap, closed form):
+    #   rgb/a accumulators pass through additively -> d = g directly;
+    #   every contribution and trans_out scale with trans_in ->
+    #   d_trans_in = [g . (out - carry-through parts)] / trans_in.
+    trans_in = carry[:, 4:5, :]
+    num = (jnp.sum(g[:, 0:4, :] * (fwd_out[:, 0:4, :] - carry[:, 0:4, :]),
+                   axis=1, keepdims=True)
+           + g[:, 4:5, :] * fwd_out[:, 4:5, :])
+    d_trans = jnp.where(trans_in > 0.0, num / jnp.maximum(trans_in, 1e-30), 0.0)
+    d_carry = jnp.concatenate(
+        [g[:, 0:4, :], d_trans, jnp.zeros_like(g[:, 5:8, :])], axis=1)
+    return d_records, None, None, None, d_carry
 
 
 composite_records.defvjp(_composite_fwd, _composite_bwd)
@@ -462,7 +499,8 @@ def composite_tiles_pallas(proj, tile_splat, tile_live, px, py, p00, p11,
     counts = jnp.sum(tile_live, axis=1).astype(jnp.int32)
     kx = (px / p00).reshape(t_tiles, 1, p)
     ky = (py / p11).reshape(t_tiles, 1, p)
-    out = composite_records(records, counts, kx, ky)   # (T, 8, P)
+    out = composite_records(records, counts, kx, ky,
+                            identity_carry(t_tiles, px.dtype))  # (T, 8, P)
     rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
     a = out[:, 3, :] + out[:, 4, :] * background[3]
     return jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)

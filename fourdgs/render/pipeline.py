@@ -50,6 +50,13 @@ class RenderConfig:
     # of exact argsort + permutation (see render/tiles.py). Exact ordering
     # differences are below visual precision; tests use the exact path.
     quantized_depth_sort: bool = False
+    # Progressive deepening (pallas backend): composite depth slabs of
+    # max_splats_per_tile, then re-composite ONLY still-unsaturated tiles
+    # with the next slab (carrying rgb/alpha/transmittance). Bounds memory
+    # and gather traffic by actual per-pixel depth complexity instead of a
+    # hard truncation. passes=1 == plain fixed-capacity behavior.
+    deepening_passes: int = 1
+    deepening_fraction: float = 0.25  # static budget of tiles per deep pass
 
 
 def _gather_tile_lists(proj: Projected, binning, cfg: RenderConfig,
@@ -158,7 +165,10 @@ def render_projected(proj: Projected, camera: Camera,
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
-    if cfg.backend == "pallas":
+    if cfg.backend == "pallas" and cfg.deepening_passes > 1:
+        tiles = _composite_pallas_progressive(proj, binning, px, py, p00,
+                                              p11, bg, cfg)
+    elif cfg.backend == "pallas":
         from fourdgs.ops.composite_pallas import composite_tiles_pallas
         tiles = composite_tiles_pallas(proj, tile_splat, tile_live, px, py,
                                        p00, p11, bg, cfg)
@@ -166,6 +176,67 @@ def render_projected(proj: Projected, camera: Camera,
         tiles = _composite_tiles_xla(proj, tile_splat, tile_live, px, py,
                                      p00, p11, bg, cfg.splat_chunk)
     return assemble_image(tiles, w, h, cfg.tile_h, cfg.tile_w)
+
+
+def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
+                                  background, cfg: RenderConfig) -> jax.Array:
+    """Progressive-deepening composite (pallas backend).
+
+    Pass 1 composites every tile's nearest `max_splats_per_tile` splats.
+    Each further pass selects the `deepening_fraction` of tiles that are
+    still unsaturated (max per-pixel transmittance above threshold) AND have
+    splats left, gathers their next depth slab, and continues compositing
+    from the carried (rgb, alpha, transmittance). Tiles whose transmittance
+    saturated are exact already (error < 1e-6); the cap only ever truncates
+    tiles that stay translucent through every slab.
+    """
+    from fourdgs.ops.composite_pallas import (composite_records,
+                                              identity_carry, pack_records)
+    m = cfg.max_splats_per_tile
+    dtype = px.dtype
+    t_tiles, p = px.shape
+    starts = binning.tile_start[:-1]
+    counts_full = binning.tile_start[1:] - starts
+    total_pairs = binning.pair_splat.shape[0]
+    kx = (px / p00).reshape(t_tiles, 1, p)
+    ky = (py / p11).reshape(t_tiles, 1, p)
+
+    def slab_lists(tile_idx, slab):
+        """Fixed-capacity lists for `tile_idx` tiles at depth slab `slab`."""
+        base = starts[tile_idx] + slab * m
+        idx = base[:, None] + jnp.arange(m, dtype=jnp.int32)[None, :]
+        idx = jnp.minimum(idx, total_pairs - 1)
+        splat = binning.pair_splat[idx]
+        live = (slab * m + jnp.arange(m, dtype=jnp.int32)[None, :]
+                < counts_full[tile_idx][:, None])
+        return splat, live
+
+    all_tiles = jnp.arange(t_tiles, dtype=jnp.int32)
+    splat0, live0 = slab_lists(all_tiles, 0)
+    rec0 = pack_records(proj, splat0, live0, p00, p11)
+    out = composite_records(rec0, jnp.sum(live0, axis=1).astype(jnp.int32),
+                            kx, ky, identity_carry(t_tiles, dtype))
+
+    t_cap = max(128, int(round(t_tiles * cfg.deepening_fraction)))
+    t_cap = min(t_cap, t_tiles)
+    for slab in range(1, cfg.deepening_passes):
+        remaining = jnp.maximum(counts_full - slab * m, 0)
+        unsat = jnp.max(out[:, 4, :], axis=1) > 1e-6
+        score = (unsat & (remaining > 0)).astype(jnp.int32)
+        # Deterministic top-t_cap active tiles (inactive fillers are no-ops:
+        # their live mask is empty).
+        order = jnp.argsort(-score, stable=True)
+        sel = order[:t_cap]
+        splat_s, live_s = slab_lists(sel, slab)
+        rec_s = pack_records(proj, splat_s, live_s, p00, p11)
+        out_s = composite_records(rec_s,
+                                  jnp.sum(live_s, axis=1).astype(jnp.int32),
+                                  kx[sel], ky[sel], out[sel])
+        out = out.at[sel].set(out_s)
+
+    rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
+    a = out[:, 3, :] + out[:, 4, :] * background[3]
+    return jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
 
 
 # ---------------------------------------------------------------------------

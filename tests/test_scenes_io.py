@@ -214,7 +214,8 @@ class TestPallasBackwardKernel:
         import jax.numpy as jnp
         from fourdgs.ops.composite_pallas import (_F, _C_AEFF,
                                                   _xla_composite_from_records,
-                                                  composite_records)
+                                                  composite_records,
+                                                  identity_carry)
         t_tiles, m, p = 2, 256, 1024
         ks = jax.random.split(jax.random.PRNGKey(0), 9)
         rec = jnp.zeros((t_tiles, _F, m))
@@ -234,7 +235,9 @@ class TestPallasBackwardKernel:
         ky = jax.random.uniform(ks[8], (t_tiles, 1, p), minval=-0.4, maxval=0.4)
         cot = jax.random.normal(jax.random.PRNGKey(42), (t_tiles, 8, p)) * 0.1
 
-        gp = jax.grad(lambda r: jnp.sum(composite_records(r, counts, kx, ky) * cot))(rec)
+        carry = identity_carry(t_tiles)
+        gp = jax.grad(lambda r: jnp.sum(
+            composite_records(r, counts, kx, ky, carry) * cot))(rec)
         gx = jax.grad(lambda r: jnp.sum(
             _xla_composite_from_records(r, counts, kx, ky).reshape(t_tiles, 8, p) * cot))(rec)
         mask = np.asarray(live)[:, None, :]

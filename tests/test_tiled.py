@@ -30,6 +30,7 @@ def make_scene(key, n=200, spread=10.0, dtype=jnp.float32):
 
 
 CAM = Camera.create(position=(0.0, 0.0, 0.0), width=96, height=64)
+CAM8 = Camera.create(position=(0.0, 0.0, 0.0), width=256, height=64)
 CFG = RenderConfig(max_splats_per_tile=256, splat_chunk=32)
 
 
@@ -153,3 +154,38 @@ class TestQuantizedSort:
                                         minval=1e-3, maxval=1e4))
         bits = jax.lax.bitcast_convert_type(d, jnp.int32) >> (32 - QUANT_DEPTH_BITS)
         assert (np.diff(np.asarray(bits)) >= 0).all()
+
+
+class TestProgressiveDeepening:
+    def test_matches_single_big_capacity(self):
+        # 3 slabs of 64 on all tiles must equal one pass with capacity 192.
+        splats = make_scene(jax.random.PRNGKey(11), n=400, spread=3.0)
+        cfg_deep = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                                max_splats_per_tile=128, splat_chunk=128,
+                                deepening_passes=3, deepening_fraction=1.0)
+        cfg_big = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                               max_splats_per_tile=384, splat_chunk=128)
+        img_deep = np.asarray(pipeline.render_splats3d(splats, CAM8, cfg=cfg_deep))
+        img_big = np.asarray(pipeline.render_splats3d(splats, CAM8, cfg=cfg_big))
+        np.testing.assert_allclose(img_deep, img_big, atol=2e-5)
+
+    def test_deepening_grad_finite(self):
+        splats = make_scene(jax.random.PRNGKey(12), n=100, spread=3.0)
+        cfg_deep = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                                max_splats_per_tile=128, splat_chunk=128,
+                                deepening_passes=2, deepening_fraction=0.5)
+
+        def loss(pos):
+            s = G.Splats3D(position=pos, color=splats.color, cov=splats.cov)
+            return jnp.mean(pipeline.render_splats3d(s, CAM8, cfg=cfg_deep) ** 2)
+
+        g = jax.grad(loss)(splats.position)
+        assert np.isfinite(np.asarray(g)).all()
+        # And it matches the single-pass big-capacity grad.
+        def loss_big(pos):
+            s = G.Splats3D(position=pos, color=splats.color, cov=splats.cov)
+            cfgb = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                                max_splats_per_tile=256, splat_chunk=128)
+            return jnp.mean(pipeline.render_splats3d(s, CAM8, cfg=cfgb) ** 2)
+        gb = jax.grad(loss_big)(splats.position)
+        np.testing.assert_allclose(np.asarray(g), np.asarray(gb), atol=1e-6)
