@@ -144,11 +144,16 @@ def _composite_tiles_xla(proj: Projected, tile_splat: jax.Array,
 
 
 def render_projected(proj: Projected, camera: Camera,
-                     cfg: RenderConfig = RenderConfig()) -> jax.Array:
-    """Tile-binned render of already-projected splats. Returns (H, W, 4)."""
+                     cfg: RenderConfig = RenderConfig(),
+                     p00=None, p11=None) -> jax.Array:
+    """Tile-binned render of already-projected splats. Returns (H, W, 4).
+
+    p00/p11 override the projection diagonal for paths with a non-standard
+    pixel->k mapping (the 2D screen-space scene)."""
     dtype = proj.mx.dtype
     pmat = camera.proj_matrix().astype(dtype)
-    p00, p11 = pmat[0, 0], pmat[1, 1]
+    if p00 is None:
+        p00, p11 = pmat[0, 0], pmat[1, 1]
     w, h = camera.width, camera.height
 
     ny0, nx0 = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
@@ -252,6 +257,23 @@ def render_splats3d(splats: Splats3D, camera: Camera,
     proj = project_splats(splats.position, splats.cov, splats.color, op,
                           camera, sort_mean3=sort_mean3)
     return render_projected(proj, camera, cfg)
+
+
+def render_splats2d(splats, camera: Camera,
+                    cfg: RenderConfig = RenderConfig()) -> jax.Array:
+    """Tiled render of the 2D screen-space workload (Scenes.h:1443-1610).
+
+    Unsorted painter order over the splat list (the 2D scene never sorts);
+    front-to-back = reversed index order, expressed through the depth keys
+    so the pipeline's ordering machinery applies unchanged."""
+    from fourdgs.render.dense import project_splats2d
+    proj, p00e, p11e = project_splats2d(splats, camera)
+    n = proj.count
+    # Painter order == index order (the 2D scene draws unsorted): ascending
+    # keys in index order, reversed by the pipeline for front-to-back.
+    proj = dataclasses.replace(
+        proj, depth=jnp.arange(n, dtype=proj.mx.dtype))
+    return render_projected(proj, camera, cfg, p00=p00e, p11=p11e)
 
 
 def render_splats4d(splats: Splats4D, camera: Camera, t,

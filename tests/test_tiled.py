@@ -189,3 +189,20 @@ class TestProgressiveDeepening:
             return jnp.mean(pipeline.render_splats3d(s, CAM8, cfg=cfgb) ** 2)
         gb = jax.grad(loss_big)(splats.position)
         np.testing.assert_allclose(np.asarray(g), np.asarray(gb), atol=1e-6)
+
+
+class TestTiled2D:
+    def test_matches_dense_2d(self):
+        from fourdgs.scenes import scenes as S
+        splats, st = S.gaussians_2d(n=20, seed=3)
+        import fourdgs.splats.gaussians as G2
+        splats = G2.Splats2D(position=jnp.asarray(splats.position),
+                             color=jnp.asarray(splats.color),
+                             cov=jnp.asarray(splats.cov))
+        cam = Camera.create(width=96, height=64)
+        img_d = np.asarray(dense.render_splats2d(splats, cam))
+        img_t = np.asarray(pipeline.render_splats2d(
+            splats, cam, cfg=RenderConfig(max_splats_per_tile=128,
+                                          splat_chunk=32,
+                                          max_tiles_per_splat=64)))
+        np.testing.assert_allclose(img_t, img_d, atol=2e-5)
