@@ -1,0 +1,146 @@
+"""Adaptive density control (train/densify.py): mechanics + integration."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourdgs.train import densify as D
+
+
+def _params(n, alpha=None, scale=1.0):
+    k = jax.random.PRNGKey(0)
+    alpha = jnp.ones((n,)) if alpha is None else jnp.asarray(alpha)
+    return dict(
+        position4=jnp.concatenate(
+            [jax.random.normal(k, (n, 3)), jnp.zeros((n, 1))], -1),
+        quat=jnp.tile(jnp.array([[1.0, 0, 0, 0]]), (n, 1)),
+        scale3=jnp.full((n, 3), scale),
+        lifetime=jnp.full((n,), 2.0),
+        fade=jnp.full((n,), 0.5),
+        velocity=jnp.zeros((n, 3)),
+        color=jnp.concatenate(
+            [jnp.full((n, 3), 0.5), alpha[:, None]], -1),
+    )
+
+
+def test_accumulate_and_reset():
+    st = D.init_state(4)
+    grads = {"position4": jnp.array([[3.0, 4.0, 0, 9.9],
+                                     [0, 0, 0, 1.0],
+                                     [1.0, 0, 0, 0],
+                                     [0, 0, 2.0, 0]])}
+    st = D.accumulate(st, grads)
+    st = D.accumulate(st, grads)
+    np.testing.assert_allclose(np.asarray(st.grad_accum),
+                               [10.0, 0.0, 2.0, 4.0], rtol=1e-6)
+    assert int(st.steps) == 2
+
+
+def test_densify_mechanics():
+    # 8 splats: indices 1, 4, 6 pruned (alpha below threshold);
+    # index 0 = high-grad small scale -> clone; index 2 = high-grad big
+    # scale -> split; others quiet.
+    alpha = jnp.array([1.0, 1e-4, 1.0, 1.0, 0.0, 1.0, 1e-3, 1.0])
+    p = _params(8, alpha=alpha)
+    p["scale3"] = p["scale3"].at[2].set(5.0)   # big -> split
+
+    st = D.init_state(8)
+    st = D.DensifyState(
+        grad_accum=jnp.array([5.0, 99.0, 4.0, 0.0, 99.0, 0.0, 0.0, 0.0]),
+        steps=jnp.ones((), jnp.int32))        # pruned splats' grads ignored
+    cfg = D.DensifyConfig(grad_thresh=1.0, split_scale=2.0)
+
+    out, st2, info = jax.jit(lambda p, s, k: D.densify_step(p, s, k, cfg))(
+        p, st, jax.random.PRNGKey(1))
+
+    assert int(info["n_pruned"]) == 3
+    assert int(info["n_placed"]) == 2
+    assert int(info["n_split"]) == 1
+    assert int(info["n_cloned"]) == 1
+    # Shapes static.
+    assert out["position4"].shape == p["position4"].shape
+    # Best candidate (idx 0, grad 5) fills first freed slot (idx 1) = clone.
+    np.testing.assert_allclose(np.asarray(out["position4"][1]),
+                               np.asarray(p["position4"][0]), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["scale3"][1]),
+                               np.asarray(p["scale3"][0]), rtol=1e-6)
+    # Second candidate (idx 2, grad 4) fills slot 4 = split: shrunk scale,
+    # position perturbed within the parent footprint, parent shrunk too.
+    np.testing.assert_allclose(np.asarray(out["scale3"][4]), 5.0 / 1.6,
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["scale3"][2]), 5.0 / 1.6,
+                               rtol=1e-5)
+    d = np.linalg.norm(np.asarray(out["position4"][4, :3]
+                                  - p["position4"][2, :3]))
+    assert 0 < d < 5.0 * 5  # nonzero, within a few sigma
+    # Unfilled freed slot (idx 6) is silenced.
+    assert float(out["color"][6, 3]) == 0.0
+    # Live splats untouched.
+    np.testing.assert_allclose(np.asarray(out["position4"][0]),
+                               np.asarray(p["position4"][0]))
+    # State reset.
+    assert int(st2.steps) == 0 and float(jnp.sum(st2.grad_accum)) == 0.0
+
+
+def test_densify_no_candidates_no_slots():
+    p = _params(6)
+    st = D.DensifyState(grad_accum=jnp.zeros((6,)),
+                        steps=jnp.ones((), jnp.int32))
+    out, _, info = D.densify_step(p, st, jax.random.PRNGKey(0))
+    assert int(info["n_pruned"]) == 0 and int(info["n_placed"]) == 0
+    for f in p:
+        np.testing.assert_allclose(np.asarray(out[f]), np.asarray(p[f]))
+
+
+def test_pad_params_and_alive_count():
+    p = _params(5)
+    p2 = D.pad_params(p, 12)
+    assert p2["position4"].shape == (12, 4)
+    assert int(D.alive_count(p2)) == 5
+    # Padding splats are benign: materializable without NaN.
+    from fourdgs.parallel.distributed import materialize_splats
+    sp = materialize_splats(p2)
+    assert bool(jnp.all(jnp.isfinite(sp.cov)))
+
+
+def test_densify_integration_fit():
+    """Fit a sparse scene to a 2-blob target; densify fills pruned slots and
+    the loop keeps improving (end-to-end smoke, small)."""
+    from fourdgs.core.camera import Camera
+    from fourdgs.render.pipeline import RenderConfig
+    from fourdgs.train.trainer import fit, make_loss_fn
+
+    cam = Camera.create(position=(0.0, 0.0, 6.0), width=64, height=64)
+    cfg = RenderConfig(max_splats_per_tile=64, splat_chunk=32,
+                       max_tiles_per_splat=16)
+
+    tgt_p = _params(2)
+    tgt_p["position4"] = jnp.array([[-1.2, 0, 0, 0], [1.2, 0, 0, 0]])
+    tgt_p["scale3"] = jnp.full((2, 3), 0.5)
+    tgt_p["color"] = jnp.array([[1.0, 0.2, 0.2, 0.9], [0.2, 0.2, 1.0, 0.9]])
+    from fourdgs.parallel.distributed import materialize_splats
+    from fourdgs.render.pipeline import render_splats4d
+    target = render_splats4d(materialize_splats(tgt_p), cam, 0.0, cfg=cfg)
+
+    p = _params(4)
+    p["position4"] = jnp.array([[-1.0, 0.3, 0, 0], [1.0, -0.3, 0, 0],
+                                [0.0, 2.0, 0, 0], [0.0, -2.0, 0, 0]])
+    p["scale3"] = jnp.full((4, 3), 0.45)
+    p["color"] = jnp.concatenate([jnp.full((4, 3), 0.5),
+                                  jnp.array([[0.8], [0.8], [1e-4], [1e-4]])],
+                                 -1)
+
+    loss_fn = make_loss_fn(cam, cfg)
+    grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+    st = D.init_state(4)
+    l0, g = grad_fn(p, target, jnp.asarray(0.0))
+    st = D.accumulate(st, g)
+    p2, st, info = D.densify_step(p, st, jax.random.PRNGKey(2),
+                                  D.DensifyConfig(grad_thresh=0.0))
+    assert int(info["n_pruned"]) == 2
+    assert int(info["n_placed"]) == 2
+    res = fit(p2, [(target, 0.0)], cam, steps=25, learning_rate=2e-2,
+              cfg=cfg)
+    assert res.losses[-1] < float(l0)
+    assert np.isfinite(res.losses[-1])
