@@ -66,15 +66,20 @@ def _render_my_tiles(splats: Splats4D, t, camera: Camera, cfg: RenderConfig,
     w, h = camera.width, camera.height
     order = front_to_back_order(proj.depth)
     proj = jax.tree_util.tree_map(lambda a: a[order], proj)
+    # Bin only this device's tile window: pairs outside it die before the
+    # sort, and the CSR/gather/composite are all local-size — per-device
+    # tile work scales 1/n_devices instead of every device re-binning the
+    # whole image.
+    my = _device_linear_index(mesh) * tiles_per_device
     binning = bin_splats(proj, p00, p11, w, h,
                          tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                         max_tiles_per_splat=cfg.max_tiles_per_splat)
+                         max_tiles_per_splat=cfg.max_tiles_per_splat,
+                         tile_range=(my, tiles_per_device))
     tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg, None)
 
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
-    my = _device_linear_index(mesh) * tiles_per_device
     take = lambda a: jax.lax.dynamic_slice_in_dim(a, my, tiles_per_device, 0)
-    # Pad the tile-indexed arrays so every device's slice is in range.
+    # Pad the pixel-coordinate arrays so every device's slice is in range.
     n_total = mesh.shape[DATA_AXIS] * mesh.shape[TILE_AXIS]
     tt_pad = tiles_per_device * n_total
 
@@ -83,11 +88,10 @@ def _render_my_tiles(splats: Splats4D, t, camera: Camera, cfg: RenderConfig,
         if short <= 0:
             return a
         return jnp.pad(a, [(0, short)] + [(0, 0)] * (a.ndim - 1))
-    tile_splat, tile_live = padt(tile_splat), padt(tile_live)
     px, py = padt(px), padt(py)
 
     tiles = _composite_tiles_xla(
-        proj, take(tile_splat), take(tile_live), take(px), take(py),
+        proj, tile_splat, tile_live, take(px), take(py),
         p00, p11, jnp.asarray(cfg.background, dtype), cfg.splat_chunk)
     return tiles
 

@@ -55,8 +55,16 @@ QUANT_DEPTH_BITS = 20
 def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                tile_h: int = TILE_H, tile_w: int = TILE_W,
                max_tiles_per_splat: int = 16,
-               quantized_depth: bool = False) -> TileBinning:
+               quantized_depth: bool = False,
+               tile_range=None) -> TileBinning:
     """Build sorted (tile, splat) pairs.
+
+    tile_range=(lo, n_local): restrict binning to the local tile window
+    [lo, lo + n_local) — pairs outside it are dead, and tile_start covers
+    only the window (length n_local + 1, tile lo at index 0). `lo` may be a
+    traced value (each device's slice under shard_map); `n_local` must be
+    static. This is what makes the sharded pipeline's per-device work scale:
+    gathers and composite see only the device's own tiles.
 
     Two orderings:
 
@@ -109,6 +117,9 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
     sx = slot[None, :] % jnp.maximum(nx_span, 1)[:, None]
     pair_live = alive[:, None] & (slot[None, :] < span[:, None]) & (sy < ny_span[:, None])
     tid = (ty0[:, None] + sy) * nx + (tx0[:, None] + sx)
+    if tile_range is not None:
+        lo, n_local = tile_range
+        pair_live = pair_live & (tid >= lo) & (tid < lo + n_local)
     tid = jnp.where(pair_live, tid, num_tiles)  # padding key sorts last
 
     splat_idx = jnp.broadcast_to(
@@ -125,12 +136,22 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         key = jnp.where(pair_live, key, jnp.iinfo(jnp.int32).max)
         key = key.reshape(-1)
         splat_idx = splat_idx.reshape(-1)
+        # Unstable: ties within a (tile, 20-bit depth) bucket order
+        # arbitrarily — the reference's radix sort breaks exact ties
+        # arbitrarily too. Stability costs ~35% of the sort at 40M pairs.
         key_s, splat_s = jax.lax.sort((key, splat_idx), num_keys=1,
-                                      is_stable=True)
+                                      is_stable=False)
         tid_s = jnp.where(key_s == jnp.iinfo(jnp.int32).max,
                           num_tiles, key_s >> QUANT_DEPTH_BITS)
-        bounds = (jnp.arange(num_tiles + 1, dtype=jnp.int32)
-                  << QUANT_DEPTH_BITS)
+        if tile_range is not None:
+            lo, n_local = tile_range
+            tile_ids = lo + jnp.arange(n_local + 1, dtype=jnp.int32)
+        else:
+            tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        # Clip padding-tile bounds to num_tiles: dead keys are int32 max, so
+        # every bound at/above num_tiles lands at the dead block's start and
+        # out-of-image tiles get zero counts.
+        bounds = jnp.minimum(tile_ids, num_tiles) << QUANT_DEPTH_BITS
         tile_start = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
     else:
         tid = tid.reshape(-1)
@@ -139,9 +160,14 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         # each tile is preserved by stability.
         tid_s, splat_s = jax.lax.sort((tid, splat_idx), num_keys=1,
                                       is_stable=True)
-        tile_start = jnp.searchsorted(
-            tid_s, jnp.arange(num_tiles + 1, dtype=jnp.int32),
-            side="left").astype(jnp.int32)
+        if tile_range is not None:
+            lo, n_local = tile_range
+            bounds = jnp.minimum(lo + jnp.arange(n_local + 1, dtype=jnp.int32),
+                                 num_tiles)
+        else:
+            bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+        tile_start = jnp.searchsorted(tid_s, bounds,
+                                      side="left").astype(jnp.int32)
 
     return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
                        tile_start=tile_start, overflowed=overflowed)

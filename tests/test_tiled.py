@@ -206,3 +206,56 @@ class TestTiled2D:
                                           splat_chunk=32,
                                           max_tiles_per_splat=64)))
         np.testing.assert_allclose(img_t, img_d, atol=2e-5)
+
+
+class TestTileRange:
+    """tile_range-restricted binning (the sharded pipeline's local window)
+    must reproduce the global CSR slice exactly."""
+
+    def _proj(self):
+        splats = make_scene(jax.random.PRNGKey(3), n=300)
+        proj = project_splats(splats.position, splats.cov, splats.color,
+                              jnp.ones((splats.count,)), CAM)
+        order = front_to_back_order(proj.depth)
+        return jax.tree_util.tree_map(lambda a: a[order], proj)
+
+    @pytest.mark.parametrize("quant", [False, True])
+    def test_local_window_matches_global(self, quant):
+        proj = self._proj()
+        pmat = CAM.proj_matrix()
+        ny, nx = tile_grid(CAM.width, CAM.height)
+        T = ny * nx
+        g = bin_splats(proj, pmat[0, 0], pmat[1, 1], CAM.width, CAM.height,
+                       quantized_depth=quant)
+        gts = np.asarray(g.tile_start)
+        gsp = np.asarray(g.pair_splat)
+        n_local = 3
+        for lo in [0, 2, T - n_local, T - 1]:
+            b = bin_splats(proj, pmat[0, 0], pmat[1, 1], CAM.width,
+                           CAM.height, quantized_depth=quant,
+                           tile_range=(jnp.asarray(lo, jnp.int32), n_local))
+            ts = np.asarray(b.tile_start)
+            sp = np.asarray(b.pair_splat)
+            assert ts.shape == (n_local + 1,)
+            for i in range(n_local):
+                t = lo + i
+                if t >= T:
+                    assert ts[i + 1] - ts[i] == 0
+                    continue
+                got = sp[ts[i]:ts[i + 1]]
+                want = gsp[gts[t]:gts[t + 1]]
+                np.testing.assert_array_equal(np.sort(got), np.sort(want))
+                if not quant:  # exact path preserves depth order
+                    np.testing.assert_array_equal(got, want)
+
+    def test_traced_lo_under_jit(self):
+        proj = self._proj()
+        pmat = CAM.proj_matrix()
+        f = jax.jit(lambda p, lo: bin_splats(
+            p, pmat[0, 0], pmat[1, 1], CAM.width, CAM.height,
+            tile_range=(lo, 4)))
+        b = f(proj, jnp.asarray(2, jnp.int32))
+        g = bin_splats(proj, pmat[0, 0], pmat[1, 1], CAM.width, CAM.height)
+        gts = np.asarray(g.tile_start)
+        np.testing.assert_array_equal(
+            np.diff(np.asarray(b.tile_start)), np.diff(gts[2:7]))
