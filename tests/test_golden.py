@@ -1,0 +1,77 @@
+"""Golden-image regression tests: every demo scene is pinned to a stored
+reference PNG (the TPU-build analog of the reference repo's Screenshots/
+directory as recorded expected outputs — SURVEY.md section 4.2).
+
+Regenerate after an *intentional* renderer change with:
+
+    python tests/golden_gen.py
+"""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+SIZE = 128
+
+# Mid-animation times / camera overrides mirroring examples/render_gallery.py.
+TIMES = {"linear": 20.0, "nonlinear": 30.0, "rotation": 30.0,
+         "combined": 20.0, "clouds": 10.0, "broken": 30.0,
+         "square": 30.0, "gaussians4d": 0.5}
+CAM_OVERRIDE = {"linear": ((12.0, 40.0, 40.0), (0.0, -1.0, -1.0)),
+                "broken": ((30.0, 40.0, 40.0), (0.0, -1.0, -1.0)),
+                "square": ((0.0, 40.0, 40.0), (0.0, -1.0, -1.0))}
+
+
+def render_scene(name: str, size: int = SIZE) -> np.ndarray:
+    """Render one demo scene deterministically (xla backend, exact sort)."""
+    from fourdgs.core.camera import Camera
+    from fourdgs.render import dense, overlay, pipeline
+    from fourdgs.render.pipeline import RenderConfig
+    from fourdgs.scenes.scenes import SCENES
+    from fourdgs.splats.gaussians import Splats2D, Splats3D
+
+    cfg = RenderConfig(max_splats_per_tile=1024, splat_chunk=64)
+    splats, st = SCENES[name]()
+    pos, ori = CAM_OVERRIDE.get(name, (st.camera_position,
+                                       st.camera_orientation))
+    cam = Camera.create(position=pos, orientation=ori,
+                        width=size, height=size)
+    t = TIMES.get(name, 0.0)
+    if isinstance(splats, Splats2D):
+        img = dense.render_splats2d(splats, cam)
+    elif isinstance(splats, Splats3D):
+        img = dense.render_splats3d(splats, cam, premultiplied=True)
+    elif splats.count == 0:
+        img = jnp.zeros((size, size, 4)).at[..., 3].set(1.0)
+        img = overlay.draw_grid(img, cam, x_count=20, z_count=20)
+        img = overlay.draw_axis(img, cam)
+    else:
+        img = pipeline.render_splats4d(splats, cam, t, st.min_opacity,
+                                       cfg=cfg)
+    return np.asarray(jnp.clip(img, 0.0, 1.0))
+
+
+def golden_names():
+    from fourdgs.scenes.scenes import SCENES
+    return sorted(SCENES.keys())
+
+
+@pytest.mark.parametrize("name", [
+    "empty", "linear", "nonlinear", "rotation", "combined", "clouds",
+    "gaussians2d", "gaussians3d", "gaussians4d", "broken", "square",
+    "objectdisplay"])
+def test_scene_matches_golden(name):
+    from fourdgs.io.png import read_png
+    path = os.path.join(GOLDEN_DIR, f"{name}.png")
+    if not os.path.exists(path):
+        pytest.skip(f"golden image missing: run python tests/golden_gen.py")
+    want = read_png(path).astype(np.float32) / 255.0   # (H, W, 4)
+    got = render_scene(name)
+    diff = np.abs(got - want)
+    # uint8 quantization allows 1/255 everywhere; flag real drift.
+    frac_off = float((diff > 3.0 / 255.0).mean())
+    assert diff.mean() < 0.004, f"{name}: mean|diff|={diff.mean():.5f}"
+    assert frac_off < 0.01, f"{name}: {frac_off:.2%} of pixels drifted"
