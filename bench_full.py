@@ -63,17 +63,22 @@ def main() -> int:
             "value": round(1.0 / fwd, 3), "unit": "fps",
             "splats_per_s": round(n / fwd / 1e6, 1)}), flush=True)
 
-        # --- bwd/fwd ratio at the small/medium sizes -------------------
-        if n <= 1_000_000:
-            def loss(p):
-                img = render_params4d_packed(p, camera, 0.0, cfg=cfg)
-                return jnp.mean(img[..., :3] ** 2)
+        # --- bwd/fwd ratio at every size (incl. 10M, roadmap item 3) ----
+        def loss(p):
+            img = render_params4d_packed(p, camera, 0.0, cfg=cfg)
+            return jnp.mean(img[..., :3] ** 2)
+        try:
             grad = jax.jit(jax.grad(loss))
             bwd = timed(grad, params)
             print(json.dumps({
                 "metric": f"grad step @{n} splats ({backend})",
                 "value": round(bwd / fwd, 2), "unit": "bwd/fwd ratio",
                 "grad_s": round(bwd, 4)}), flush=True)
+        except Exception as e:  # pragma: no cover - OOM guard at 10M
+            print(json.dumps({
+                "metric": f"grad step @{n} splats ({backend})",
+                "value": None, "unit": "bwd/fwd ratio",
+                "error": type(e).__name__}), flush=True)
         del params
 
     # --- multi-device scaling ------------------------------------------

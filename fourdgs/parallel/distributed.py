@@ -90,9 +90,15 @@ def _render_my_tiles(splats: Splats4D, t, camera: Camera, cfg: RenderConfig,
         return jnp.pad(a, [(0, short)] + [(0, 0)] * (a.ndim - 1))
     px, py = padt(px), padt(py)
 
-    tiles = _composite_tiles_xla(
-        proj, tile_splat, tile_live, take(px), take(py),
-        p00, p11, jnp.asarray(cfg.background, dtype), cfg.splat_chunk)
+    if cfg.backend == "pallas":
+        from fourdgs.ops.composite_pallas import composite_tiles_pallas
+        tiles = composite_tiles_pallas(
+            proj, tile_splat, tile_live, take(px), take(py),
+            p00, p11, jnp.asarray(cfg.background, dtype), cfg)
+    else:
+        tiles = _composite_tiles_xla(
+            proj, tile_splat, tile_live, take(px), take(py),
+            p00, p11, jnp.asarray(cfg.background, dtype), cfg.splat_chunk)
     return tiles
 
 

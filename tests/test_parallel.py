@@ -64,6 +64,47 @@ class TestShardedRender:
         np.testing.assert_allclose(img_sh, img_ref, atol=3e-5)
 
 
+class TestShardedPallasBackend:
+    """Roadmap item: the Pallas compositor under shard_map (interpret mode on
+    the CPU mesh; same kernel path that runs compiled on real chips)."""
+    CAMP = Camera.create(position=(0.0, 0.0, 0.0), width=128, height=128)
+    CFGP = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                        max_splats_per_tile=256, splat_chunk=128)
+
+    def test_render_matches_single_device(self):
+        params = make_scene4d(jax.random.PRNGKey(7))
+        splats = D.materialize_splats(params)
+        mesh = make_mesh()
+        img_ref = np.asarray(
+            pipeline.render_splats4d(splats, self.CAMP, 1.5, cfg=self.CFGP))
+        f = jax.jit(lambda s: D.render_splats4d_sharded(
+            s, self.CAMP, 1.5, mesh, cfg=self.CFGP))
+        img_sh = np.asarray(f(splats))
+        np.testing.assert_allclose(img_sh, img_ref, atol=3e-5)
+
+    def test_grads_match_unsharded(self):
+        mesh = make_mesh()
+        params = make_scene4d(jax.random.PRNGKey(8), n=64)
+        target = jnp.zeros((self.CAMP.height, self.CAMP.width, 4))
+        loss_sh = D.make_sharded_loss(self.CAMP, mesh, self.CFGP)
+        npx = self.CAMP.height * self.CAMP.width * 3
+
+        def loss_ref(p):
+            splats = D.materialize_splats(p)
+            img = pipeline.render_splats4d(splats, self.CAMP, 1.0,
+                                           cfg=self.CFGP)
+            return jnp.sum((img[..., :3] - target[..., :3]) ** 2) / npx
+
+        l_sh, g_sh = jax.value_and_grad(
+            lambda p: loss_sh(p, target, 1.0))(params)
+        l_rf, g_rf = jax.value_and_grad(loss_ref)(params)
+        np.testing.assert_allclose(l_sh, l_rf, rtol=1e-5)
+        for k in params:
+            np.testing.assert_allclose(np.asarray(g_sh[k]),
+                                       np.asarray(g_rf[k]),
+                                       atol=1e-5, err_msg=k)
+
+
 class TestShardedTraining:
     def test_grads_match_unsharded(self):
         mesh = make_mesh()
