@@ -52,12 +52,27 @@ def build_cube_scene(n: int, seed: int = 0):
     )
 
 
+def _force(out):
+    """Force completion with a tiny host fetch: on the tunneled TPU backend
+    block_until_ready alone can return before lazily-enqueued work executes;
+    fetching one scalar flushes the queue, making timings honest."""
+    import jax
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[-1])
+    jax.block_until_ready(out)
+    return out
+
+
 def main() -> int:
     n = int(os.environ.get("FOURDGS_BENCH_SPLATS", 10_000_000))
     width = int(os.environ.get("FOURDGS_BENCH_WIDTH", 1920))
     height = int(os.environ.get("FOURDGS_BENCH_HEIGHT", 1088))  # 1080p, tile-padded
     backend = os.environ.get("FOURDGS_BENCH_BACKEND", "pallas")
-    reps = int(os.environ.get("FOURDGS_BENCH_REPS", 5))
+    reps = int(os.environ.get("FOURDGS_BENCH_REPS", 10))
+    slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 512))
+    passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
+    tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
 
     import jax
     import jax.numpy as jnp
@@ -69,33 +84,39 @@ def main() -> int:
     if not on_tpu and "FOURDGS_BENCH_SPLATS" not in os.environ:
         n = 200_000  # keep CPU smoke runs tractable
 
-    params = build_cube_scene(n)
-    jax.block_until_ready(params)
+    params = _force(build_cube_scene(n))
 
     camera = Camera.create(position=(420.0, 300.0, 420.0),
                            orientation=(-1.0, -0.7, -1.0),
                            far=5000.0, width=width, height=height)
     if backend == "pallas":
-        cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
-                           max_splats_per_tile=2048, max_tiles_per_splat=4,
+        cfg = RenderConfig(tile_h=tile_h, tile_w=128, backend="pallas",
+                           max_splats_per_tile=slab, max_tiles_per_splat=4,
                            splat_chunk=128, quantized_depth_sort=True,
-                           deepening_passes=3, deepening_fraction=0.25)
+                           deepening_passes=passes, deepening_fraction=0.34)
     else:
         cfg = RenderConfig(max_splats_per_tile=2048, max_tiles_per_splat=4,
                            splat_chunk=128, quantized_depth_sort=True)
 
-    render = jax.jit(lambda s, t: render_params4d_packed(s, camera, t, cfg=cfg))
+    render = jax.jit(lambda s, t: render_params4d_packed(s, camera, t, cfg=cfg,
+                                                         return_aux=True))
 
     t0 = time.time()
-    img = render(params, jnp.asarray(0.0))
-    jax.block_until_ready(img)
+    img, aux = render(params, jnp.asarray(0.0))
+    _force(img)
     compile_s = time.time() - t0
+    overflow = int(aux["overflowed"])
+    live_pairs = int(aux["live_pairs"])
+    max_tile_pairs = int(aux["max_tile_pairs"])
 
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(3):
+        # Chain dispatches between forces so the fixed flush overhead
+        # amortizes out of the per-frame number.
         t0 = time.time()
-        jax.block_until_ready(render(params, jnp.asarray(0.0)))
-        best = min(best, time.time() - t0)
+        outs = [render(params, jnp.asarray(0.0)) for _ in range(reps)]
+        _force(outs[-1][0])
+        best = min(best, (time.time() - t0) / reps)
 
     fps = 1.0 / best
     result = {
@@ -108,7 +129,10 @@ def main() -> int:
     # Diagnostics on stderr; the driver consumes the stdout JSON line.
     print(f"# compile {compile_s:.1f}s, best frame {best*1000:.1f}ms, "
           f"{n / best / 1e6:.1f}M splats/s, mean rgb "
-          f"{float(jnp.mean(img[..., :3])):.4f}", file=sys.stderr)
+          f"{float(jnp.mean(img[..., :3])):.4f}, pair-budget overflow "
+          f"{overflow}, live pairs {live_pairs:,}, deepest tile "
+          f"{max_tile_pairs:,} (composited depth cap {slab * passes:,})",
+          file=sys.stderr)
     print(json.dumps(result))
     return 0
 

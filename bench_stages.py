@@ -24,16 +24,30 @@ import sys
 import time
 
 
-def timed(fn, *args, reps=5):
+def _force(out):
+    """Force completion with a host fetch: on the tunneled TPU backend,
+    block_until_ready alone can return before lazily-enqueued work runs —
+    fetching one scalar flushes the queue and gives honest timings."""
     import jax
+    import numpy as np
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.numpy.ravel(leaf)[-1])
+    jax.block_until_ready(out)
+    return out
+
+
+def timed(fn, *args, reps=5):
     t0 = time.time()
-    out = jax.block_until_ready(fn(*args))
+    out = _force(fn(*args))
     compile_s = time.time() - t0
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(3):
+        # Chain `reps` back-to-back dispatches between forces so the fixed
+        # flush/dispatch overhead amortizes out of the per-call number.
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.time() - t0)
+        outs = [fn(*args) for _ in range(reps)]
+        _force(outs[-1])
+        best = min(best, (time.time() - t0) / reps)
     return out, best, compile_s
 
 
@@ -65,8 +79,9 @@ def main():
     width, height = 1920, 1088
     stages = set(args.stages.split(","))
 
-    params = build_cube_scene(n)
-    jax.block_until_ready(params)
+    t0 = time.time()
+    params = _force(build_cube_scene(n))
+    print(json.dumps({"stage": "build_scene", "ms": round((time.time() - t0) * 1000, 2)}))
     camera = Camera.create(position=(420.0, 300.0, 420.0),
                            orientation=(-1.0, -0.7, -1.0),
                            far=5000.0, width=width, height=height)

@@ -87,13 +87,14 @@ def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref, out_ref):
     t = pl.program_id(0)
     n = counts_ref[t]
     dtype = out_ref.dtype
+    p = kx_ref.shape[-1]
 
     kx = kx_ref[:]                       # (1, P)
     ky = ky_ref[:]
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PTILE_P), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, p), 0)
 
-    n_chunks = jax.lax.div(n + CHUNK - 1, CHUNK)
+    n_chunks = jax.lax.div(n + jnp.int32(CHUNK - 1), jnp.int32(CHUNK))
 
     def body(c, carry):
         r_acc, g_acc, b_acc, a_acc, trans = carry    # each (1, P)
@@ -165,13 +166,14 @@ def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref, out_ref):
     out_ref[2:3, :] = b_acc
     out_ref[3:4, :] = a_acc
     out_ref[4:5, :] = trans
-    out_ref[5:8, :] = jnp.zeros((3, PTILE_P), dtype)
+    out_ref[5:8, :] = jnp.zeros((3, p), dtype)
 
 
-def identity_carry(t_tiles: int, dtype=jnp.float32) -> jax.Array:
+def identity_carry(t_tiles: int, dtype=jnp.float32,
+                   p: int = PTILE_P) -> jax.Array:
     """(T, 8, P) carry for the first depth slab: empty accumulators, full
     transmittance."""
-    c = jnp.zeros((t_tiles, 8, PTILE_P), dtype)
+    c = jnp.zeros((t_tiles, 8, p), dtype)
     return c.at[:, 4, :].set(1.0)
 
 
@@ -181,7 +183,8 @@ def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
     """records (T, F, M), counts (T,), kx/ky (T, 1, P), carry (T, 8, P)
     -> (T, 8, P)."""
     t_tiles, f, m = records.shape
-    assert f == _F and m % CHUNK == 0
+    p = kx.shape[-1]
+    assert f == _F and m % CHUNK == 0 and p % 128 == 0
     dtype = records.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -190,14 +193,14 @@ def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
         in_specs=[
             pl.BlockSpec((1, _F, m), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -208,7 +211,7 @@ def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((t_tiles, 8, PTILE_P), dtype),
+        out_shape=jax.ShapeDtypeStruct((t_tiles, 8, p), dtype),
         interpret=interpret,
     )(counts, records, kx, ky, carry)
 
@@ -254,6 +257,7 @@ def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref,
     t = pl.program_id(0)
     n = counts_ref[t]
     dtype = drec_ref.dtype
+    p = kx_ref.shape[-1]
 
     kx = kx_ref[:]
     ky = ky_ref[:]
@@ -270,10 +274,10 @@ def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref,
 
     drec_ref[...] = jnp.zeros(drec_ref.shape, dtype)
 
-    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, PTILE_P), 0)
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (CHUNK, p), 0)
     gt_tfin = gt * t_fin
 
-    n_chunks = jax.lax.div(n + CHUNK - 1, CHUNK)
+    n_chunks = jax.lax.div(n + jnp.int32(CHUNK - 1), jnp.int32(CHUNK))
 
     def body(c, carry):
         pref_r, pref_g, pref_b, pref_a, trans = carry   # each (1, P)
@@ -370,6 +374,7 @@ def _composite_bwd_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref,
 
 def _composite_bwd_pallas(records, counts, kx, ky, carry, fwd_out, g):
     t_tiles, f, m = records.shape
+    p = kx.shape[-1]
     dtype = records.dtype
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -378,15 +383,15 @@ def _composite_bwd_pallas(records, counts, kx, ky, carry, fwd_out, g):
         in_specs=[
             pl.BlockSpec((1, _F, m), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 1, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, PTILE_P), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, _F, m), lambda t, c: (t, 0, 0),
@@ -492,15 +497,15 @@ def composite_tiles_pallas(proj, tile_splat, tile_live, px, py, p00, p11,
                            background, cfg) -> jax.Array:
     """Drop-in replacement for the XLA tiled compositor: returns (T, P, 4)."""
     t_tiles, p = px.shape
-    assert cfg.tile_h == PTILE_H and cfg.tile_w == PTILE_W, (
-        "pallas backend requires 8x128 pixel tiles")
-    assert p == PTILE_P
+    assert p == cfg.tile_h * cfg.tile_w and p % 128 == 0, (
+        "pallas backend needs tile_h * tile_w to be a multiple of 128 "
+        "(lane width); 8x128 / 16x128 / 32x128 are the tuned shapes")
     records = pack_records(proj, tile_splat, tile_live, p00, p11)
     counts = jnp.sum(tile_live, axis=1).astype(jnp.int32)
     kx = (px / p00).reshape(t_tiles, 1, p)
     ky = (py / p11).reshape(t_tiles, 1, p)
     out = composite_records(records, counts, kx, ky,
-                            identity_carry(t_tiles, px.dtype))  # (T, 8, P)
+                            identity_carry(t_tiles, px.dtype, p))  # (T, 8, P)
     rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
     a = out[:, 3, :] + out[:, 4, :] * background[3]
     return jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)

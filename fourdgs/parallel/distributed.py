@@ -30,7 +30,8 @@ from jax import shard_map
 
 from fourdgs.core.camera import Camera
 from fourdgs.parallel.mesh import DATA_AXIS, TILE_AXIS, pad_to_multiple
-from fourdgs.render.pipeline import RenderConfig, _composite_tiles_xla, _gather_tile_lists
+from fourdgs.render.pipeline import (RenderConfig, _composite_pallas_progressive,
+                                     _composite_tiles_xla, _gather_tile_lists)
 from fourdgs.render.project import project_splats
 from fourdgs.render.sort import front_to_back_order
 from fourdgs.render.tiles import bin_splats, tile_grid, tile_pixel_ndc
@@ -75,8 +76,6 @@ def _render_my_tiles(splats: Splats4D, t, camera: Camera, cfg: RenderConfig,
                          tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                          max_tiles_per_splat=cfg.max_tiles_per_splat,
                          tile_range=(my, tiles_per_device))
-    tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg, None)
-
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     take = lambda a: jax.lax.dynamic_slice_in_dim(a, my, tiles_per_device, 0)
     # Pad the pixel-coordinate arrays so every device's slice is in range.
@@ -91,11 +90,14 @@ def _render_my_tiles(splats: Splats4D, t, camera: Camera, cfg: RenderConfig,
     px, py = padt(px), padt(py)
 
     if cfg.backend == "pallas":
-        from fourdgs.ops.composite_pallas import composite_tiles_pallas
-        tiles = composite_tiles_pallas(
-            proj, tile_splat, tile_live, take(px), take(py),
-            p00, p11, jnp.asarray(cfg.background, dtype), cfg)
+        # Same progressive-deepening compositor as the unsharded path
+        # (per-tile slab counters over the local window CSR), so sharded
+        # and unsharded configs agree for any deepening_passes.
+        tiles = _composite_pallas_progressive(
+            proj, binning, take(px), take(py), p00, p11,
+            jnp.asarray(cfg.background, dtype), cfg)
     else:
+        tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg, None)
         tiles = _composite_tiles_xla(
             proj, tile_splat, tile_live, take(px), take(py),
             p00, p11, jnp.asarray(cfg.background, dtype), cfg.splat_chunk)

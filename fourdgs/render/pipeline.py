@@ -59,6 +59,23 @@ class RenderConfig:
     deepening_fraction: float = 0.25  # static budget of tiles per deep pass
 
 
+def _pad_pairs(pair_splat: jax.Array, m: int) -> jax.Array:
+    """Append m dead entries so every dynamic slice [start, start+m) is in
+    range (tile_start <= P always)."""
+    return jnp.concatenate([pair_splat, jnp.zeros((m,), pair_splat.dtype)])
+
+
+def _gather_pair_rows(pair_padded: jax.Array, starts: jax.Array, m: int):
+    """(T,) starts -> (T, m) contiguous windows of the sorted pair array.
+
+    vmap-of-dynamic_slice lowers to a gather with slice_sizes=(m,) —
+    contiguous row reads — instead of T*m independent element gathers
+    (measured ~25 ns per gathered element on TPU; rows are ~free)."""
+    def row(s):
+        return jax.lax.dynamic_slice_in_dim(pair_padded, s, m)
+    return jax.vmap(row)(starts)
+
+
 def _gather_tile_lists(proj: Projected, binning, cfg: RenderConfig,
                        num_tiles: int):
     """Fixed-capacity per-tile splat lists from the CSR pair arrays.
@@ -70,10 +87,8 @@ def _gather_tile_lists(proj: Projected, binning, cfg: RenderConfig,
     m = cfg.max_splats_per_tile
     starts = binning.tile_start[:-1]                      # (T,)
     counts = binning.tile_start[1:] - starts              # (T,)
-    total_pairs = binning.pair_splat.shape[0]
-    idx = starts[:, None] + jnp.arange(m, dtype=jnp.int32)[None, :]
-    idx = jnp.minimum(idx, total_pairs - 1)
-    tile_splat = binning.pair_splat[idx]                  # (T, M)
+    tile_splat = _gather_pair_rows(_pad_pairs(binning.pair_splat, m),
+                                   starts, m)             # (T, M)
     live = jnp.arange(m, dtype=jnp.int32)[None, :] < counts[:, None]
     return tile_splat, live
 
@@ -145,8 +160,11 @@ def _composite_tiles_xla(proj: Projected, tile_splat: jax.Array,
 
 def render_projected(proj: Projected, camera: Camera,
                      cfg: RenderConfig = RenderConfig(),
-                     p00=None, p11=None) -> jax.Array:
-    """Tile-binned render of already-projected splats. Returns (H, W, 4).
+                     p00=None, p11=None, return_aux: bool = False):
+    """Tile-binned render of already-projected splats. Returns (H, W, 4),
+    or (image, aux) with return_aux — aux surfaces the binning health
+    counters (pair-budget overflow, live pair count, deepest tile) so
+    callers can assert/log instead of silently truncating.
 
     p00/p11 override the projection diagonal for paths with a non-standard
     pixel->k mapping (the 2D screen-space scene)."""
@@ -165,35 +183,45 @@ def render_projected(proj: Projected, camera: Camera,
                          tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                          max_tiles_per_splat=cfg.max_tiles_per_splat,
                          quantized_depth=use_quant)
-    ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
-    tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg, ny * nx)
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
-    if cfg.backend == "pallas" and cfg.deepening_passes > 1:
+    if cfg.backend == "pallas":
         tiles = _composite_pallas_progressive(proj, binning, px, py, p00,
                                               p11, bg, cfg)
-    elif cfg.backend == "pallas":
-        from fourdgs.ops.composite_pallas import composite_tiles_pallas
-        tiles = composite_tiles_pallas(proj, tile_splat, tile_live, px, py,
-                                       p00, p11, bg, cfg)
     else:
+        ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
+        tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg,
+                                                   ny * nx)
         tiles = _composite_tiles_xla(proj, tile_splat, tile_live, px, py,
                                      p00, p11, bg, cfg.splat_chunk)
-    return assemble_image(tiles, w, h, cfg.tile_h, cfg.tile_w)
+    img = assemble_image(tiles, w, h, cfg.tile_h, cfg.tile_w)
+    if not return_aux:
+        return img
+    counts = binning.tile_start[1:] - binning.tile_start[:-1]
+    aux = {
+        "overflowed": binning.overflowed,          # splats past pair budget
+        "live_pairs": binning.tile_start[-1],      # total emitted pairs
+        "max_tile_pairs": jnp.max(counts),         # deepest tile's pairs
+    }
+    return img, aux
 
 
 def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
                                   background, cfg: RenderConfig) -> jax.Array:
-    """Progressive-deepening composite (pallas backend).
+    """Progressive-deepening composite (pallas backend; handles passes=1).
 
     Pass 1 composites every tile's nearest `max_splats_per_tile` splats.
-    Each further pass selects the `deepening_fraction` of tiles that are
+    Each further pass selects up to `deepening_fraction * T` tiles that are
     still unsaturated (max per-pixel transmittance above threshold) AND have
     splats left, gathers their next depth slab, and continues compositing
-    from the carried (rgb, alpha, transmittance). Tiles whose transmittance
-    saturated are exact already (error < 1e-6); the cap only ever truncates
-    tiles that stay translucent through every slab.
+    from the carried (rgb, alpha, transmittance). A per-tile slab counter
+    tracks progress, so a tile passed over in one round (budget) resumes
+    where it left off in a later round. Tiles whose transmittance saturated
+    are exact already (error < 1e-6); the cap only ever truncates tiles that
+    stay translucent through every slab — which is why a small slab (512)
+    plus a handful of passes beats one big fixed capacity: the gather
+    traffic adapts to each tile's true depth complexity.
     """
     from fourdgs.ops.composite_pallas import (composite_records,
                                               identity_carry, pack_records)
@@ -202,42 +230,40 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     t_tiles, p = px.shape
     starts = binning.tile_start[:-1]
     counts_full = binning.tile_start[1:] - starts
-    total_pairs = binning.pair_splat.shape[0]
+    pair_pad = _pad_pairs(binning.pair_splat, m)
     kx = (px / p00).reshape(t_tiles, 1, p)
     ky = (py / p11).reshape(t_tiles, 1, p)
+    arange_m = jnp.arange(m, dtype=jnp.int32)
 
-    def slab_lists(tile_idx, slab):
-        """Fixed-capacity lists for `tile_idx` tiles at depth slab `slab`."""
-        base = starts[tile_idx] + slab * m
-        idx = base[:, None] + jnp.arange(m, dtype=jnp.int32)[None, :]
-        idx = jnp.minimum(idx, total_pairs - 1)
-        splat = binning.pair_splat[idx]
-        live = (slab * m + jnp.arange(m, dtype=jnp.int32)[None, :]
-                < counts_full[tile_idx][:, None])
-        return splat, live
-
-    all_tiles = jnp.arange(t_tiles, dtype=jnp.int32)
-    splat0, live0 = slab_lists(all_tiles, 0)
-    rec0 = pack_records(proj, splat0, live0, p00, p11)
-    out = composite_records(rec0, jnp.sum(live0, axis=1).astype(jnp.int32),
-                            kx, ky, identity_carry(t_tiles, dtype))
+    rows0 = _gather_pair_rows(pair_pad, starts, m)
+    live0 = arange_m[None, :] < counts_full[:, None]
+    rec0 = pack_records(proj, rows0, live0, p00, p11)
+    out = composite_records(rec0, jnp.minimum(counts_full, m).astype(jnp.int32),
+                            kx, ky, identity_carry(t_tiles, dtype, p))
+    slab_done = jnp.ones((t_tiles,), jnp.int32)
 
     t_cap = max(128, int(round(t_tiles * cfg.deepening_fraction)))
     t_cap = min(t_cap, t_tiles)
-    for slab in range(1, cfg.deepening_passes):
-        remaining = jnp.maximum(counts_full - slab * m, 0)
+    for _ in range(1, cfg.deepening_passes):
+        remaining = counts_full - slab_done * m
         unsat = jnp.max(out[:, 4, :], axis=1) > 1e-6
-        score = (unsat & (remaining > 0)).astype(jnp.int32)
+        active = unsat & (remaining > 0)
         # Deterministic top-t_cap active tiles (inactive fillers are no-ops:
-        # their live mask is empty).
-        order = jnp.argsort(-score, stable=True)
+        # their live mask is empty and their counter does not advance).
+        order = jnp.argsort(-active.astype(jnp.int32), stable=True)
         sel = order[:t_cap]
-        splat_s, live_s = slab_lists(sel, slab)
-        rec_s = pack_records(proj, splat_s, live_s, p00, p11)
-        out_s = composite_records(rec_s,
-                                  jnp.sum(live_s, axis=1).astype(jnp.int32),
-                                  kx[sel], ky[sel], out[sel])
+        act = active[sel]
+        base = starts[sel] + slab_done[sel] * m
+        rows = _gather_pair_rows(pair_pad, base, m)
+        off = slab_done[sel][:, None] * m + arange_m[None, :]
+        live = act[:, None] & (off < counts_full[sel][:, None])
+        rec = pack_records(proj, rows, live, p00, p11)
+        cnt = jnp.where(act,
+                        jnp.clip(counts_full[sel] - slab_done[sel] * m, 0, m),
+                        0).astype(jnp.int32)
+        out_s = composite_records(rec, cnt, kx[sel], ky[sel], out[sel])
         out = out.at[sel].set(out_s)
+        slab_done = slab_done.at[sel].add(act.astype(jnp.int32))
 
     rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
     a = out[:, 3, :] + out[:, 4, :] * background[3]
@@ -289,7 +315,8 @@ def render_splats4d(splats: Splats4D, camera: Camera, t,
 
 
 def render_params4d_packed(params: dict, camera: Camera, t, min_opacity=0.0,
-                           cfg: RenderConfig = RenderConfig()) -> jax.Array:
+                           cfg: RenderConfig = RenderConfig(),
+                           return_aux: bool = False):
     """Production-scale flagship path on the packed scalar-SoA
     parameterization (splats/packed.py): covariance construction, temporal
     slicing and EWA all fuse into one elementwise pass — nothing with a tiny
@@ -302,4 +329,4 @@ def render_params4d_packed(params: dict, camera: Camera, t, min_opacity=0.0,
     colors = (params["cr"], params["cg"], params["cb"], params["ca"])
     proj = project_components(mx, my, mz, cov3, colors, opacity, camera,
                               sort_mean=sort_mean)
-    return render_projected(proj, camera, cfg)
+    return render_projected(proj, camera, cfg, return_aux=return_aux)

@@ -112,18 +112,25 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
     overflowed = jnp.sum((span > max_tiles_per_splat) & alive)
 
     # Emit a fixed budget of pairs per splat, row-major over the bbox.
-    slot = jnp.arange(max_tiles_per_splat, dtype=jnp.int32)
-    sy = slot[None, :] // jnp.maximum(nx_span, 1)[:, None]
-    sx = slot[None, :] % jnp.maximum(nx_span, 1)[:, None]
-    pair_live = alive[:, None] & (slot[None, :] < span[:, None]) & (sy < ny_span[:, None])
-    tid = (ty0[:, None] + sy) * nx + (tx0[:, None] + sx)
-    if tile_range is not None:
-        lo, n_local = tile_range
-        pair_live = pair_live & (tid >= lo) & (tid < lo + n_local)
-    tid = jnp.where(pair_live, tid, num_tiles)  # padding key sorts last
+    # LAYOUT: slot-major — one (N,) array per slot, concatenated. An (N, S)
+    # layout puts S on the 128-lane axis and pads 32x in HBM (measured
+    # 250 ms of pure relayout traffic at 10M splats); (N,) component arrays
+    # fuse into the projection pass and cost nothing.
+    safe_nx = jnp.maximum(nx_span, 1)
+    idx1 = jnp.arange(n, dtype=jnp.int32)
+    tids, lives = [], []
+    for s in range(max_tiles_per_splat):
+        sy = s // safe_nx
+        sx = s - sy * safe_nx
+        live_s = alive & (s < span) & (sy < ny_span)
+        tid_s = (ty0 + sy) * nx + (tx0 + sx)
+        if tile_range is not None:
+            lo, n_local = tile_range
+            live_s = live_s & (tid_s >= lo) & (tid_s < lo + n_local)
+        tids.append(jnp.where(live_s, tid_s, num_tiles))
+        lives.append(live_s)
 
-    splat_idx = jnp.broadcast_to(
-        jnp.arange(n, dtype=jnp.int32)[:, None], tid.shape)
+    splat_idx = jnp.concatenate([idx1] * max_tiles_per_splat)
 
     if quantized_depth:
         assert num_tiles < (1 << 11) - 1, (
@@ -132,17 +139,17 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         dist = 1.0 / jnp.maximum(proj.depth, 1e-30)
         dbits = jax.lax.bitcast_convert_type(dist, jnp.int32) >> (32 - QUANT_DEPTH_BITS)
         dbits = jnp.clip(dbits, 0, (1 << QUANT_DEPTH_BITS) - 1)
-        key = (tid << QUANT_DEPTH_BITS) | dbits[:, None]
-        key = jnp.where(pair_live, key, jnp.iinfo(jnp.int32).max)
-        key = key.reshape(-1)
-        splat_idx = splat_idx.reshape(-1)
+        dead = jnp.iinfo(jnp.int32).max
+        key = jnp.concatenate([
+            jnp.where(live_s, (tid_s << QUANT_DEPTH_BITS) | dbits, dead)
+            for tid_s, live_s in zip(tids, lives)])
         # Unstable: ties within a (tile, 20-bit depth) bucket order
         # arbitrarily — the reference's radix sort breaks exact ties
         # arbitrarily too. Stability costs ~35% of the sort at 40M pairs.
         key_s, splat_s = jax.lax.sort((key, splat_idx), num_keys=1,
                                       is_stable=False)
-        tid_s = jnp.where(key_s == jnp.iinfo(jnp.int32).max,
-                          num_tiles, key_s >> QUANT_DEPTH_BITS)
+        tid_s = jnp.where(key_s == dead, num_tiles,
+                          key_s >> QUANT_DEPTH_BITS)
         if tile_range is not None:
             lo, n_local = tile_range
             tile_ids = lo + jnp.arange(n_local + 1, dtype=jnp.int32)
@@ -152,25 +159,46 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         # every bound at/above num_tiles lands at the dead block's start and
         # out-of-image tiles get zero counts.
         bounds = jnp.minimum(tile_ids, num_tiles) << QUANT_DEPTH_BITS
-        tile_start = jnp.searchsorted(key_s, bounds, side="left").astype(jnp.int32)
+        tile_start = searchsorted_i32(key_s, bounds)
     else:
-        tid = tid.reshape(-1)
-        splat_idx = splat_idx.reshape(-1)
-        # One fused STABLE sort by tile id; splat (= depth) order within
-        # each tile is preserved by stability.
-        tid_s, splat_s = jax.lax.sort((tid, splat_idx), num_keys=1,
-                                      is_stable=True)
+        tid = jnp.concatenate(tids)
+        # Two-key sort (tile id, splat index): `proj` is pre-permuted into
+        # front-to-back order, so ascending splat index within a tile IS
+        # depth order — equivalent to the stable single-key sort but
+        # independent of pair emission order.
+        tid_s, splat_s = jax.lax.sort((tid, splat_idx), num_keys=2,
+                                      is_stable=False)
         if tile_range is not None:
             lo, n_local = tile_range
             bounds = jnp.minimum(lo + jnp.arange(n_local + 1, dtype=jnp.int32),
                                  num_tiles)
         else:
             bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
-        tile_start = jnp.searchsorted(tid_s, bounds,
-                                      side="left").astype(jnp.int32)
+        tile_start = searchsorted_i32(tid_s, bounds)
 
     return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
                        tile_start=tile_start, overflowed=overflowed)
+
+
+def searchsorted_i32(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:
+    """Left-bisect positions of `queries` in 1-D `sorted_arr`, int32.
+
+    jnp.searchsorted lowers to a full co-sort of keys and queries on TPU
+    (measured ~12 ms against a 40M array for 2K queries); an explicit
+    binary search is log2(P) tiny gathers instead (microseconds)."""
+    p = sorted_arr.shape[0]
+    lo = jnp.zeros(queries.shape, jnp.int32)
+    hi = jnp.full(queries.shape, p, jnp.int32)
+    # ceil(log2(p)) fixed iterations; static trip count keeps this jit-free
+    # of dynamic control flow.
+    steps = max(1, (p - 1).bit_length())
+    for _ in range(steps):
+        mid = (lo + hi) >> 1
+        take = sorted_arr[jnp.minimum(mid, p - 1)]
+        go_right = take < queries
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+    return lo
 
 
 def tile_pixel_ndc(width: int, height: int, tile_h: int = TILE_H,
