@@ -189,15 +189,18 @@ def searchsorted_i32(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:
     p = sorted_arr.shape[0]
     lo = jnp.zeros(queries.shape, jnp.int32)
     hi = jnp.full(queries.shape, p, jnp.int32)
-    # ceil(log2(p)) fixed iterations; static trip count keeps this jit-free
-    # of dynamic control flow.
-    steps = max(1, (p - 1).bit_length())
+    # Fixed trip count (no dynamic control flow under jit). bit_length(p)+1
+    # guarantees the bracket [lo, hi) shrinks to empty: halving p for
+    # bit_length(p) steps leaves at most a size-1 interval, and one more
+    # step resolves it (a size-1 bracket still needs its comparison).
+    steps = p.bit_length() + 1
     for _ in range(steps):
         mid = (lo + hi) >> 1
         take = sorted_arr[jnp.minimum(mid, p - 1)]
-        go_right = take < queries
+        live = mid < hi                    # bracket not yet empty
+        go_right = live & (take < queries)
         lo = jnp.where(go_right, mid + 1, lo)
-        hi = jnp.where(go_right, hi, mid)
+        hi = jnp.where(live & ~go_right, mid, hi)
     return lo
 
 

@@ -48,10 +48,25 @@ def fit(params: Dict[str, jax.Array],
         learning_rate: float = 5e-3,
         cfg: RenderConfig = RenderConfig(),
         ssim_weight: float = 0.0,
-        log_every: int = 0) -> FitResult:
+        log_every: int = 0,
+        densify_cfg: "Optional[DensifyConfig]" = None,
+        densify_every: int = 50,
+        densify_until: float = 0.7,
+        seed: int = 0) -> FitResult:
     """Fit splat parameters to (target_image, t) frames by cycling through
     them with Adam. Small-scale convenience API; for multi-chip use
-    parallel.distributed.make_sharded_train_step."""
+    parallel.distributed.make_sharded_train_step.
+
+    Adaptive density control (train/densify.py) is wired in when
+    `densify_cfg` is given: positional-gradient norms accumulate every
+    step, and every `densify_every` steps (until `densify_until * steps`)
+    low-opacity splats are pruned and their slots refilled with clones /
+    splits of the highest-pressure splats. Capacity is static (pad the
+    pytree with densify.pad_params beforehand to leave headroom); Adam
+    moments are re-initialized at each densify event since slot contents
+    change identity."""
+    from fourdgs.train import densify as D
+
     frames = list(frames)
     loss_fn = make_loss_fn(camera, cfg, ssim_weight=ssim_weight)
     opt = optax.adam(learning_rate)
@@ -61,14 +76,36 @@ def fit(params: Dict[str, jax.Array],
     def step(params, opt_state, target, t):
         loss, grads = jax.value_and_grad(loss_fn)(params, target, t)
         updates, opt_state = opt.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, grads
+
+    dstate = None
+    densify_jit = None
+    accumulate_jit = None
+    if densify_cfg is not None:
+        n = params["position4"].shape[0]
+        dstate = D.init_state(n, params["position4"].dtype)
+        densify_jit = jax.jit(
+            lambda p, s, k: D.densify_step(p, s, k, densify_cfg))
+        accumulate_jit = jax.jit(D.accumulate)
+    key = jax.random.PRNGKey(seed)
 
     losses = []
     for i in range(steps):
         target, t = frames[i % len(frames)]
-        params, opt_state, loss = step(params, opt_state, target,
-                                       jnp.asarray(t))
+        params, opt_state, loss, grads = step(params, opt_state, target,
+                                              jnp.asarray(t))
         losses.append(float(loss))
+        if densify_cfg is not None:
+            dstate = accumulate_jit(dstate, grads)
+            if (i + 1) % densify_every == 0 and i + 1 < densify_until * steps:
+                key, sub = jax.random.split(key)
+                params, dstate, info = densify_jit(params, dstate, sub)
+                opt_state = opt.init(params)
+                if log_every:
+                    print(f"step {i}: densify pruned="
+                          f"{int(info['n_pruned'])} placed="
+                          f"{int(info['n_placed'])} split="
+                          f"{int(info['n_split'])}")
         if log_every and i % log_every == 0:
             print(f"step {i}: loss {losses[-1]:.6f}")
     return FitResult(params=params, losses=losses)

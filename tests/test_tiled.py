@@ -259,3 +259,21 @@ class TestTileRange:
         gts = np.asarray(g.tile_start)
         np.testing.assert_array_equal(
             np.diff(np.asarray(b.tile_start)), np.diff(gts[2:7]))
+
+
+class TestSearchsortedI32:
+    def test_matches_numpy_left_bisect(self):
+        """Regression: the fixed-trip binary search must match
+        np.searchsorted('left') exactly, including power-of-two sizes
+        (an early version under-iterated) and converged-bracket
+        idempotence (an early version overshot past hi)."""
+        import numpy as np
+        from fourdgs.render.tiles import searchsorted_i32
+        rng = np.random.default_rng(0)
+        for p in [1, 2, 3, 15, 16, 17, 255, 256, 1000, 12345]:
+            a = np.sort(rng.integers(0, max(4, p // 2), p, dtype=np.int32))
+            q = rng.integers(-2, max(4, p // 2) + 2, 64, dtype=np.int32)
+            want = np.searchsorted(a, q, side="left")
+            got = np.asarray(searchsorted_i32(jnp.asarray(a),
+                                              jnp.asarray(q)))
+            assert np.array_equal(want, got), p

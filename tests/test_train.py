@@ -75,6 +75,62 @@ class TestFit:
         assert res.losses[-1] < res.losses[1] * 0.7
 
 
+class TestFitWithDensify:
+    def test_densify_improves_fit(self):
+        """End-to-end adaptive density control inside trainer.fit: starting
+        from too few splats with dead-slot headroom, densification must
+        populate slots and reach a measurably better loss than plain Adam
+        with the same step budget (VERDICT round-1 item 9)."""
+        from fourdgs.train import densify as D
+        # Target: 6 clusters of 8 small splats. Start: one fat splat per
+        # cluster center, plus dead-slot headroom. Densification (clone /
+        # split, like 3DGS it refines LOCAL structure — it cannot discover
+        # distant content, which is why starts sit at cluster centers)
+        # should recruit slots and beat plain Adam, which is stuck blurring
+        # each cluster with a single splat.
+        rng = np.random.default_rng(5)
+        k_clusters, m_per = 6, 8
+        centers = rng.uniform(-5, 5, (k_clusters, 3))
+        centers[:, 2] -= 25
+        pos = (centers[:, None, :]
+               + rng.normal(0, 1.6, (k_clusters, m_per, 3))).reshape(-1, 3)
+        n = k_clusters * m_per
+        tp = dict(
+            position4=jnp.asarray(np.concatenate([pos, np.zeros((n, 1))], 1),
+                                  jnp.float32),
+            quat=jax.random.normal(jax.random.PRNGKey(1), (n, 4)),
+            scale3=jnp.full((n, 3), 0.8),
+            lifetime=jnp.full((n,), 3.0), fade=jnp.full((n,), 0.5),
+            velocity=jnp.zeros((n, 3)),
+            color=jax.random.uniform(jax.random.PRNGKey(2), (n, 4),
+                                     minval=0.35, maxval=1.0))
+        target = render_splats4d(materialize_splats(tp), CAM, 0.0, cfg=CFG)
+        start = dict(
+            position4=jnp.asarray(
+                np.concatenate([centers, np.zeros((k_clusters, 1))], 1),
+                jnp.float32),
+            quat=jnp.tile(jnp.asarray([[1.0, 0, 0, 0]]), (k_clusters, 1)),
+            scale3=jnp.full((k_clusters, 3), 2.2),
+            lifetime=jnp.full((k_clusters,), 3.0),
+            fade=jnp.full((k_clusters,), 0.5),
+            velocity=jnp.zeros((k_clusters, 3)),
+            color=jnp.full((k_clusters, 4), 0.6))
+        start = D.pad_params(start, n)
+        start["color"] = start["color"].at[k_clusters:, 3].set(0.0)
+
+        common = dict(steps=300, learning_rate=2e-2, cfg=CFG)
+        plain = trainer.fit(jax.tree_util.tree_map(jnp.copy, start),
+                            [(target, 0.0)], CAM, **common)
+        dens = trainer.fit(jax.tree_util.tree_map(jnp.copy, start),
+                           [(target, 0.0)], CAM,
+                           densify_cfg=D.DensifyConfig(),
+                           densify_every=40, **common)
+        assert np.isfinite(dens.losses).all()
+        assert int(D.alive_count(dens.params)) > k_clusters  # slots recruited
+        assert dens.losses[-1] < plain.losses[-1] * 0.9, (
+            dens.losses[-1], plain.losses[-1])
+
+
 class TestCheckpoint:
     def test_roundtrip(self):
         params = make_params(jax.random.PRNGKey(5), n=8)
