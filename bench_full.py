@@ -19,13 +19,16 @@ import time
 
 
 def timed(fn, *args, reps=3):
-    import jax
-    jax.block_until_ready(fn(*args))
+    from bench import _force
+    _force(fn(*args))
     best = float("inf")
-    for _ in range(reps):
+    for _ in range(2):
+        # Chain dispatches between forces: on the tunneled TPU backend a
+        # host fetch is what actually drains the queue (see bench._force).
         t0 = time.time()
-        jax.block_until_ready(fn(*args))
-        best = min(best, time.time() - t0)
+        outs = [fn(*args) for _ in range(reps)]
+        _force(outs[-1])
+        best = min(best, (time.time() - t0) / reps)
     return best
 
 
@@ -48,14 +51,20 @@ def main() -> int:
     camera = Camera.create(position=(420.0, 300.0, 420.0),
                            orientation=(-1.0, -0.7, -1.0),
                            far=5000.0, width=width, height=height)
-    cfg = RenderConfig(tile_h=8, tile_w=128, backend=backend,
-                       max_splats_per_tile=2048, max_tiles_per_splat=4,
-                       splat_chunk=128)
+    tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
+    slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 512))
+    passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
+    cfg = RenderConfig(tile_h=tile_h if on_tpu else 8, tile_w=128,
+                       backend=backend,
+                       max_splats_per_tile=slab, max_tiles_per_splat=4,
+                       splat_chunk=128, quantized_depth_sort=on_tpu,
+                       deepening_passes=passes if backend == "pallas" else 1,
+                       deepening_fraction=0.34)
 
     # --- forward scaling over scene size -------------------------------
     for n in sizes:
-        params = build_cube_scene(n)
-        jax.block_until_ready(params)
+        from bench import _force
+        params = _force(build_cube_scene(n))
         render = jax.jit(lambda s: render_params4d_packed(s, camera, 0.0, cfg=cfg))
         fwd = timed(render, params)
         print(json.dumps({
@@ -74,11 +83,13 @@ def main() -> int:
                 "metric": f"grad step @{n} splats ({backend})",
                 "value": round(bwd / fwd, 2), "unit": "bwd/fwd ratio",
                 "grad_s": round(bwd, 4)}), flush=True)
-        except Exception as e:  # pragma: no cover - OOM guard at 10M
+        except Exception as e:  # pragma: no cover — surfaced, not masked
+            # Emit the message too so a shape bug / NaN assert is
+            # distinguishable from a genuine RESOURCE_EXHAUSTED (ADVICE r1).
             print(json.dumps({
                 "metric": f"grad step @{n} splats ({backend})",
                 "value": None, "unit": "bwd/fwd ratio",
-                "error": type(e).__name__}), flush=True)
+                "error": f"{type(e).__name__}: {str(e)[:300]}"}), flush=True)
         del params
 
     # --- multi-device scaling ------------------------------------------

@@ -118,6 +118,88 @@ def composite_dense(proj: Projected, px: jax.Array, py: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# generic GL blend explorer (DebugMenus.h:211-274 analog)
+# ---------------------------------------------------------------------------
+
+# The blend-factor set the reference's explorer exposes (glBlendFunc enums).
+BLEND_FACTORS = ("zero", "one", "src_alpha", "one_minus_src_alpha",
+                 "dst_alpha", "one_minus_dst_alpha",
+                 "src_color", "one_minus_src_color",
+                 "dst_color", "one_minus_dst_color")
+
+
+def _blend_factor(name: str, src_rgba, dst_rgba):
+    """Per-channel GL blend factor (rgb factors use the matching channel for
+    *_color; alpha factors broadcast), for (..., 4) rgba tensors."""
+    sa = src_rgba[..., 3:4]
+    da = dst_rgba[..., 3:4]
+    one = jnp.ones_like(src_rgba)
+    table = {
+        "zero": jnp.zeros_like(src_rgba),
+        "one": one,
+        "src_alpha": jnp.broadcast_to(sa, src_rgba.shape),
+        "one_minus_src_alpha": jnp.broadcast_to(1.0 - sa, src_rgba.shape),
+        "dst_alpha": jnp.broadcast_to(da, src_rgba.shape),
+        "one_minus_dst_alpha": jnp.broadcast_to(1.0 - da, src_rgba.shape),
+        "src_color": src_rgba,
+        "one_minus_src_color": 1.0 - src_rgba,
+        "dst_color": dst_rgba,
+        "one_minus_dst_color": 1.0 - dst_rgba,
+    }
+    if name not in table:
+        raise ValueError(f"unknown blend factor {name!r}; "
+                         f"choose from {BLEND_FACTORS}")
+    return table[name]
+
+
+def composite_dense_blend(proj: Projected, px: jax.Array, py: jax.Array,
+                          p00, p11, background: jax.Array,
+                          src_factor: str = "src_alpha",
+                          dst_factor: str = "one_minus_src_alpha",
+                          premultiplied: bool = False) -> jax.Array:
+    """Back-to-front composite under an ARBITRARY glBlendFunc pair — the
+    TPU-native analog of the reference's blend-function explorer
+    (DebugMenus.h:211-274 driving glBlendFunc at Application.cpp:150).
+
+    `proj` must be in *front-to-back* order (like composite_dense); the scan
+    walks it back to front applying dst = src*F_src + dst*F_dst per GL
+    semantics, with fragment discard leaving dst untouched. O(N) sequential
+    over splats — an exploration tool for showcase scenes, not the
+    production compositor (whose SRC_ALPHA/ONE_MINUS_SRC_ALPHA special case
+    has the closed transmittance form)."""
+    h, w = px.shape
+    dtype = px.dtype
+    pxf = px.reshape(-1)
+    pyf = py.reshape(-1)
+    npix = pxf.shape[0]
+
+    # Back-to-front = reversed front-to-back.
+    proj_btf = jax.tree_util.tree_map(lambda a: a[::-1], proj)
+
+    def step(dst, sp):
+        weight, cover = pixel_weight(sp, pxf, pyf, p00, p11)   # (1, P)
+        weight = jnp.where(cover, weight, 0.0)[0]
+        cover = (cover[0] & sp.valid).astype(dtype)
+        alpha = jnp.clip(sp.opacity * weight * sp.a, 0.0, 1.0)
+        rgb = jnp.broadcast_to(jnp.stack([sp.r[0], sp.g[0], sp.b[0]]),
+                               (npix, 3))
+        if premultiplied:
+            rgb = rgb * weight[:, None]
+        src = jnp.concatenate([rgb, alpha[:, None]], axis=-1)  # (P, 4)
+        fs = _blend_factor(src_factor, src, dst)
+        fd = _blend_factor(dst_factor, src, dst)
+        blended = src * fs + dst * fd
+        # Fragment discard: below-threshold fragments don't touch dst.
+        live = (cover * (weight >= 1e-4))[:, None]
+        return dst + live * (blended - dst), None
+
+    per_splat = jax.tree_util.tree_map(lambda a: a[:, None], proj_btf)
+    init = jnp.broadcast_to(background, (npix, 4)).astype(dtype)
+    out, _ = jax.lax.scan(step, init, per_splat)
+    return out.reshape(h, w, 4)
+
+
+# ---------------------------------------------------------------------------
 # full-scene entry points
 # ---------------------------------------------------------------------------
 

@@ -283,33 +283,42 @@ def gaussians_2d(n: int = 20, seed: int = 0):
                                  do_sort=False)
 
 
-def gaussians_3d():
-    """Scenes::Gaussians3D (Scenes.h:1615-1723): one interactive 3D Gaussian
-    (pos (0,0,0), quat identity-ish, editable scale; we use the menu default
-    l=(1,1,1) scaled up for visibility)."""
+def gaussians_3d(position=(0.0, 0.0, 0.0), quat=(1.0, 0.0, 0.0, 0.0),
+                 scale=(5.0, 10.0, 5.0), color=(1.0, 1.0, 1.0, 1.0)):
+    """Scenes::Gaussians3D (Scenes.h:1615-1723): one interactive 3D Gaussian.
+    The keyword parameters are the live-editor analog (DebugMenus.h:121-164:
+    position/quaternion/scale/color sliders) — pass overrides to 'edit' the
+    splat; defaults are the menu defaults scaled for visibility."""
     splats = Splats3D.from_params(
-        position=np.array([[0.0, 0.0, 0.0]], np.float32),
-        quat=np.array([[1.0, 0.0, 0.0, 0.0]], np.float32),
-        scale=np.array([[5.0, 10.0, 5.0]], np.float32),
-        color=np.array([[1.0, 1.0, 1.0, 1.0]], np.float32),
+        position=np.asarray([position], np.float32),
+        quat=np.asarray([quat], np.float32),
+        scale=np.asarray([scale], np.float32),
+        color=np.asarray([color], np.float32),
     )
     return splats, SceneSettings((0.0, 10.0, 50.0), (0.0, 0.0, -1.0))
 
 
-def gaussians_4d():
+def gaussians_4d(position=(0.0, 0.0, 0.0, 0.0), look=(1.0, 0.0, 1.0),
+                 quat=None, scale3=(10.0, 20.0, 10.0), lifetime=1.0,
+                 fade=0.5, velocity=(5.0, 5.0, 5.0),
+                 color=(1.0, 1.0, 1.0, 1.0)):
     """Scenes::Gaussians4D (Scenes.h:1729-1873): a single 4D Gaussian built
     with the motion ctor: lookAt(1,0,1), scale (10,20,10), lifetime 1,
-    fade 0.5, velocity (5,5,5); time slider -2..2."""
-    quat = np.asarray(quat_look_at(jnp.asarray([1.0, 0.0, 1.0]),
-                                   jnp.asarray([0.0, 1.0, 0.0])))
+    fade 0.5, velocity (5,5,5); time slider -2..2. The keyword parameters
+    are the 4D editor analog (DebugMenus.h:167-208: position/orientation/
+    scale/lifetime/fade/velocity/color); `quat` overrides `look` when
+    given."""
+    if quat is None:
+        quat = np.asarray(quat_look_at(jnp.asarray(look, jnp.float32),
+                                       jnp.asarray([0.0, 1.0, 0.0])))
     splats = Splats4D.from_motion(
-        position4=np.array([[0.0, 0.0, 0.0, 0.0]], np.float32),
-        quat=quat[None],
-        scale3=np.array([[10.0, 20.0, 10.0]], np.float32),
-        lifetime=np.array([1.0], np.float32),
-        fade=np.array([0.5], np.float32),
-        velocity=np.array([[5.0, 5.0, 5.0]], np.float32),
-        color=np.array([[1.0, 1.0, 1.0, 1.0]], np.float32),
+        position4=np.asarray([position], np.float32),
+        quat=np.asarray([quat], np.float32),
+        scale3=np.asarray([scale3], np.float32),
+        lifetime=np.asarray([lifetime], np.float32),
+        fade=np.asarray([fade], np.float32),
+        velocity=np.asarray([velocity], np.float32),
+        color=np.asarray([color], np.float32),
     )
     return splats, SceneSettings((30.0, 30.0, 30.0), (-1.0, -1.0, -1.0),
                                  max_time=2.0)

@@ -43,7 +43,64 @@ def build_argparser():
                    help="overlay the reference's ground grid (Scenes.h:303)")
     p.add_argument("--axis", action="store_true",
                    help="overlay the xyz axis cross (Scenes.h:304)")
+    p.add_argument("--blend", default=None, metavar="SRC,DST",
+                   help="blend-function explorer (DebugMenus.h:211-274): "
+                        "any glBlendFunc factor pair, e.g. "
+                        "'src_alpha,one_minus_src_alpha' or 'one,one'; "
+                        "forces the dense back-to-front compositor. "
+                        "See fourdgs.render.dense.BLEND_FACTORS")
+    p.add_argument("--set", action="append", default=[], metavar="FIELD=V[,V..]",
+                   help="per-splat parameter override (the single-splat "
+                        "editor analog, DebugMenus.h:75-208): e.g. "
+                        "--set scale=2,0.5,1 --set color=1,0,0,0.8 "
+                        "--set lifetime=5 --set position=0,1,-10,0 "
+                        "--set quat=1,0,0.3,0 --set velocity=1,0,0. "
+                        "Applies to all splats, or one with --splat-index")
+    p.add_argument("--splat-index", type=int, default=None,
+                   help="restrict --set overrides to one splat")
     return p
+
+
+def apply_overrides(splats, sets, index):
+    """Apply --set FIELD=values overrides to a splat pytree (any of
+    Splats2D/3D/4D or a packed dict). Vector fields broadcast a single
+    value; --splat-index restricts to one row."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    aliases = {"scale": "scale3", "pos": "position", "dir": "velocity",
+               "rot": "quat"}
+    for spec in sets:
+        if "=" not in spec:
+            raise SystemExit(f"--set {spec!r}: expected FIELD=V[,V...]")
+        field, _, raw = spec.partition("=")
+        field = aliases.get(field.strip(), field.strip())
+        vals = jnp.asarray([float(v) for v in raw.split(",")])
+        is_dc = dataclasses.is_dataclass(splats)
+        names = ([f.name for f in dataclasses.fields(splats)] if is_dc
+                 else list(splats.keys()))
+        # Accept both exact names and common aliases across splat classes.
+        cands = [n for n in names if n == field or n.rstrip("34") == field
+                 or field.rstrip("34") == n.rstrip("34")]
+        if not cands:
+            raise SystemExit(f"--set: no field {field!r}; has {names}")
+        name = cands[0]
+        cur = getattr(splats, name) if is_dc else splats[name]
+        if vals.shape[0] == 1 and cur.ndim >= 1:
+            newrow = jnp.broadcast_to(vals, cur.shape[1:] or (1,))
+        else:
+            want = cur.shape[1:] if cur.ndim > 1 else ()
+            if want and vals.shape != want:
+                raise SystemExit(f"--set {name}: expected {want[0]} values, "
+                                 f"got {vals.shape[0]}")
+            newrow = vals if want else vals[0]
+        if index is None:
+            new = jnp.broadcast_to(newrow, cur.shape).astype(cur.dtype)
+        else:
+            new = cur.at[index].set(jnp.asarray(newrow, cur.dtype))
+        splats = (dataclasses.replace(splats, **{name: new}) if is_dc
+                  else {**splats, name: new})
+    return splats
 
 
 def main(argv=None):
@@ -70,7 +127,30 @@ def main(argv=None):
         print(f"unknown scene {args.scene!r}; use --list", file=sys.stderr)
         return 2
 
-    splats, st = SCENES[args.scene]()
+    # Route --set overrides: generator keyword parameters first (the
+    # single-splat editor analog for the showcase scenes), remaining specs
+    # as array-level pytree edits.
+    import inspect
+    gen = SCENES[args.scene]
+    sig_params = inspect.signature(gen).parameters
+    aliases = {"scale": ("scale", "scale3"), "pos": ("position",),
+               "dir": ("velocity",), "rot": ("quat",)}
+    gen_kwargs, array_sets = {}, []
+    for spec in args.set:
+        field = spec.partition("=")[0].strip()
+        raw = spec.partition("=")[2]
+        cands = aliases.get(field, (field,)) + (field,)
+        hit = next((c for c in cands if c in sig_params), None)
+        if hit is not None and args.splat_index in (None, 0):
+            vals = [float(v) for v in raw.split(",")]
+            gen_kwargs[hit] = vals[0] if len(vals) == 1 and hit in (
+                "lifetime", "fade") else tuple(vals)
+        else:
+            array_sets.append(spec)
+
+    splats, st = gen(**gen_kwargs)
+    if array_sets:
+        splats = apply_overrides(splats, array_sets, args.splat_index)
     campos = tuple(map(float, args.cam_pos.split(","))) if args.cam_pos else st.camera_position
     camdir = tuple(map(float, args.cam_dir.split(","))) if args.cam_dir else st.camera_orientation
     bg = tuple(map(float, args.background.split(",")))
@@ -82,8 +162,47 @@ def main(argv=None):
     else:
         cfg = RenderConfig(background=bg)
 
-    def render_at(t):
+    blend = None
+    if args.blend:
+        parts = [b.strip() for b in args.blend.split(",")]
+        if len(parts) != 2:
+            print("--blend expects SRC,DST", file=sys.stderr)
+            return 2
+        blend = tuple(parts)
+
+    def render_blend(t):
+        """Blend-function explorer path: dense back-to-front composite
+        under the chosen glBlendFunc pair."""
+        from fourdgs.core.camera import pixel_centers_ndc
+        from fourdgs.splats.gaussians import mean_in_time_sortkey
+        from fourdgs.render.project import project_splats
         if isinstance(splats, Splats2D):
+            proj, p00e, p11e = dense_mod.project_splats2d(splats, cam)
+            proj = jax.tree_util.tree_map(lambda a: a[::-1], proj)
+        else:
+            if isinstance(splats, Splats3D):
+                sliced, top, sm = splats, None, None
+            else:
+                sliced, top = splats.at_time(t, args.min_opacity)
+                sm = mean_in_time_sortkey(splats.position, splats.cov, t)
+            import jax.numpy as jnp
+            op = (jnp.ones((sliced.count,)) if top is None else top)
+            proj = project_splats(sliced.position, sliced.cov, sliced.color,
+                                  op, cam, sort_mean3=sm)
+            proj = dense_mod.sort_front_to_back(proj)
+            pmat = cam.proj_matrix()
+            p00e, p11e = pmat[0, 0], pmat[1, 1]
+        px, py = pixel_centers_ndc(cam.width, cam.height)
+        import jax.numpy as jnp
+        return dense_mod.composite_dense_blend(
+            proj, px, py, p00e, p11e, jnp.asarray(bg),
+            src_factor=blend[0], dst_factor=blend[1],
+            premultiplied=isinstance(splats, Splats3D))
+
+    def render_at(t):
+        if blend is not None:
+            img = render_blend(t)
+        elif isinstance(splats, Splats2D):
             img = dense_mod.render_splats2d(splats, cam, background=bg)
         elif isinstance(splats, Splats3D):
             if args.backend == "dense":

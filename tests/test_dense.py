@@ -265,3 +265,57 @@ class TestPremultiplied:
         assert np.isfinite(pre).all()
         assert pre[..., :3].sum() < straight[..., :3].sum()
         assert pre[..., :3].max() > 0.01
+
+
+class TestBlendExplorer:
+    """The blend-function explorer (DebugMenus.h:211-274 analog) must agree
+    with the production transmittance compositor at the shipped factor pair
+    GL_SRC_ALPHA / GL_ONE_MINUS_SRC_ALPHA (Application.cpp:137-138)."""
+
+    def test_src_alpha_pair_matches_composite_dense(self):
+        from fourdgs.core.camera import pixel_centers_ndc
+        from fourdgs.render.dense import (composite_dense,
+                                          composite_dense_blend,
+                                          sort_front_to_back)
+        from fourdgs.render.project import project_splats
+        rng = np.random.default_rng(0)
+        n = 24
+        cam = Camera.create(position=(0, 0, 0), width=48, height=40)
+        pos = rng.uniform(-4, 4, (n, 3)).astype(np.float32)
+        pos[:, 2] -= 20.0
+        cov = np.einsum("nij,nkj->nik",
+                        rng.normal(0, 0.8, (n, 3, 3)),
+                        rng.normal(0, 0.8, (n, 3, 3))).astype(np.float32)
+        cov += 0.3 * np.eye(3, dtype=np.float32)
+        color = rng.uniform(0.1, 1.0, (n, 4)).astype(np.float32)
+        proj = project_splats(jnp.asarray(pos), jnp.asarray(cov),
+                              jnp.asarray(color), jnp.ones((n,)), cam)
+        proj = sort_front_to_back(proj)
+        pm = cam.proj_matrix()
+        px, py = pixel_centers_ndc(cam.width, cam.height)
+        bgv = jnp.asarray([0.05, 0.1, 0.0, 1.0])
+        want = composite_dense(proj, px, py, pm[0, 0], pm[1, 1], bgv)
+        got = composite_dense_blend(proj, px, py, pm[0, 0], pm[1, 1], bgv,
+                                    "src_alpha", "one_minus_src_alpha")
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+    def test_additive_blend_is_sum(self):
+        from fourdgs.core.camera import pixel_centers_ndc
+        from fourdgs.render.dense import composite_dense_blend
+        from fourdgs.render.project import project_splats
+        cam = Camera.create(position=(0, 0, 0), width=32, height=32)
+        n = 5
+        pos = np.zeros((n, 3), np.float32)
+        pos[:, 2] = -15.0
+        pos[:, 0] = np.linspace(-1, 1, n)
+        cov = np.tile(np.eye(3, dtype=np.float32) * 2.0, (n, 1, 1))
+        color = np.full((n, 4), 0.5, np.float32)
+        proj = project_splats(jnp.asarray(pos), jnp.asarray(cov),
+                              jnp.asarray(color), jnp.ones((n,)), cam)
+        pm = cam.proj_matrix()
+        px, py = pixel_centers_ndc(cam.width, cam.height)
+        img = composite_dense_blend(proj, px, py, pm[0, 0], pm[1, 1],
+                                    jnp.zeros((4,)), "one", "one")
+        # GL_ONE/GL_ONE accumulates: brighter than any single contribution.
+        assert float(jnp.max(img[..., :3])) > 0.5
