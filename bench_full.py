@@ -113,20 +113,23 @@ def main() -> int:
             color=jax.random.uniform(ks[5], (n, 4), minval=0.2, maxval=1.0))
         target = jnp.zeros((cam_s.height, cam_s.width, 4))
         opt = optax.adam(1e-3)
-        times = {}
-        for nd in [1, n_dev]:
-            mesh = make_mesh(jax.devices()[:nd])
-            step = jax.jit(D.make_sharded_train_step(cam_s, mesh, opt, cfg_s))
-            st = opt.init(params)
-            run = lambda: step(params, st, target, 0.0)[2]
-            times[nd] = timed(run)
-        eff = times[1] / (times[n_dev] * n_dev)
-        print(json.dumps({
-            "metric": f"train-step scaling 1 -> {n_dev} devices "
-                      f"({'real chips' if on_tpu else 'virtual CPU mesh: overhead only'})",
-            "value": round(eff, 3), "unit": "scaling efficiency",
-            "t1_s": round(times[1], 4), f"t{n_dev}_s": round(times[n_dev], 4)}),
-            flush=True)
+        for exchange in ("allgather", "alltoall"):
+            times = {}
+            for nd in [1, n_dev]:
+                mesh = make_mesh(jax.devices()[:nd])
+                step = jax.jit(D.make_sharded_train_step(
+                    cam_s, mesh, opt, cfg_s, exchange=exchange))
+                st = opt.init(params)
+                run = lambda: step(params, st, target, 0.0)[2]
+                times[nd] = timed(run)
+            eff = times[1] / (times[n_dev] * n_dev)
+            print(json.dumps({
+                "metric": f"train-step scaling 1 -> {n_dev} devices, "
+                          f"{exchange} exchange "
+                          f"({'real chips' if on_tpu else 'virtual CPU mesh: overhead only'})",
+                "value": round(eff, 3), "unit": "scaling efficiency",
+                "t1_s": round(times[1], 4),
+                f"t{n_dev}_s": round(times[n_dev], 4)}), flush=True)
     return 0
 
 

@@ -49,19 +49,16 @@ _C_R, _C_G, _C_B, _C_AEFF = 6, 7, 8, 9
 ALPHA_MAX = 1.0 - 1e-6
 
 
-def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
-                 p00, p11) -> jax.Array:
-    """Gather per-tile splat records into the kernel layout (T, M, F).
+def record_fields(proj, p00, p11) -> jax.Array:
+    """(N_FIELDS, N) kernel record field matrix for every projected splat.
 
-    a_eff premultiplies color alpha, temporal opacity, the frustum-cull flag
-    and the live mask, so the kernel's alpha is a_eff * exp(-q/2) under the
-    coverage clip. Centers are stored in k units (NDC offset over the
-    projection diagonal), matching the kernel's pixel coordinates.
-    """
+    a_eff premultiplies color alpha, temporal opacity and the frustum-cull
+    flag, so the kernel's alpha is a_eff * exp(-q/2) under the coverage
+    clip. Centers are stored in k units (NDC offset over the projection
+    diagonal), matching the kernel's pixel coordinates."""
     dtype = proj.mx.dtype
-    n = proj.count
     a_eff = proj.opacity * proj.a * proj.valid.astype(dtype)
-    rec = jnp.stack([
+    return jnp.stack([
         proj.mx / p00,
         proj.my / p11,
         proj.v0x, proj.v0y,
@@ -69,6 +66,18 @@ def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
         proj.r, proj.g, proj.b,
         a_eff,
     ], axis=0)                                        # (10, N)
+
+
+N_FIELDS = 10
+
+
+def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
+                 p00, p11) -> jax.Array:
+    """Gather per-tile splat records into the kernel layout (T, F, M);
+    tile_live additionally zeroes a_eff for dead list entries."""
+    dtype = proj.mx.dtype
+    n = proj.count
+    rec = record_fields(proj, p00, p11)
     rec = jnp.concatenate(
         [rec, jnp.zeros((_F - rec.shape[0], n), dtype)], axis=0)
     # (T, F, M): M rides the 128-aligned lane axis in VMEM, so the kernel's

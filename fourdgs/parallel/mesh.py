@@ -52,6 +52,12 @@ def splat_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def splat_sharding_flat(mesh: Mesh) -> NamedSharding:
+    """Splats sharded along axis 0 over the FLATTENED mesh (every device a
+    distinct shard) — the layout of the all_to_all exchange path."""
+    return NamedSharding(mesh, P((DATA_AXIS, TILE_AXIS)))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

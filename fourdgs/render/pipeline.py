@@ -270,6 +270,73 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     return jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
 
 
+def _composite_pairrec_progressive(rec_pairs: jax.Array, tile_start: jax.Array,
+                                   px, py, p00, p11, background,
+                                   cfg: RenderConfig) -> jax.Array:
+    """Progressive slab composite straight from a tile-major sorted
+    pair-record array (P, N_FIELDS) — records are CONTIGUOUS per tile, so
+    every slab load is a dynamic row slice: no random gather at all. This
+    is the compositor of the all_to_all sharded path, whose exchange
+    delivers records already in pair order.
+
+    Same per-tile slab-counter deepening as _composite_pallas_progressive.
+    """
+    from fourdgs.ops.composite_pallas import (_F, N_FIELDS,
+                                              composite_records,
+                                              identity_carry)
+    m = cfg.max_splats_per_tile
+    dtype = px.dtype
+    t_tiles, p = px.shape
+    starts = tile_start[:-1]
+    counts_full = tile_start[1:] - starts
+    rec_pad = jnp.concatenate(
+        [rec_pairs, jnp.zeros((m, N_FIELDS), rec_pairs.dtype)], axis=0)
+    kx = (px / p00).reshape(t_tiles, 1, p)
+    ky = (py / p11).reshape(t_tiles, 1, p)
+    arange_m = jnp.arange(m, dtype=jnp.int32)
+
+    def slab_recs(base, live):
+        """(T_sel,) row starts -> (T_sel, _F, m) kernel records; `live`
+        masks contiguous-array bleed into the next tile's records."""
+        rows = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(rec_pad, (s, 0),
+                                            (m, N_FIELDS)))(base)
+        rows = rows * live[..., None].astype(rows.dtype)
+        rec = jnp.swapaxes(rows, 1, 2)                     # (T_sel, NF, m)
+        return jnp.concatenate(
+            [rec, jnp.zeros((rec.shape[0], _F - N_FIELDS, m), rec.dtype)],
+            axis=1)
+
+    live0 = arange_m[None, :] < counts_full[:, None]
+    rec0 = slab_recs(starts, live0)
+    out = composite_records(rec0, jnp.minimum(counts_full, m).astype(jnp.int32),
+                            kx, ky, identity_carry(t_tiles, dtype, p))
+    slab_done = jnp.ones((t_tiles,), jnp.int32)
+
+    t_cap = min(t_tiles, max(128, int(round(t_tiles * cfg.deepening_fraction))))
+    for _ in range(1, cfg.deepening_passes):
+        remaining = counts_full - slab_done * m
+        unsat = jnp.max(out[:, 4, :], axis=1) > 1e-6
+        active = unsat & (remaining > 0)
+        order = jnp.argsort(-active.astype(jnp.int32), stable=True)
+        sel = order[:t_cap]
+        act = active[sel]
+        base = starts[sel] + slab_done[sel] * m
+        off = slab_done[sel][:, None] * m + arange_m[None, :]
+        live = act[:, None] & (off < counts_full[sel][:, None])
+        rec = slab_recs(base, live)
+        cnt = jnp.where(act,
+                        jnp.clip(counts_full[sel] - slab_done[sel] * m, 0, m),
+                        0).astype(jnp.int32)
+        out_s = composite_records(rec, cnt, kx[sel], ky[sel], out[sel])
+        out = out.at[sel].set(out_s)
+        slab_done = slab_done.at[sel].add(act.astype(jnp.int32))
+
+    rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
+    a = out[:, 3, :] + out[:, 4, :] * background[3]
+    return jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
+
+
 # ---------------------------------------------------------------------------
 # high-level entries (mirror render/dense.py signatures)
 # ---------------------------------------------------------------------------
@@ -277,12 +344,13 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
 def render_splats3d(splats: Splats3D, camera: Camera,
                     opacity: Optional[jax.Array] = None,
                     sort_mean3: Optional[jax.Array] = None,
-                    cfg: RenderConfig = RenderConfig()) -> jax.Array:
+                    cfg: RenderConfig = RenderConfig(),
+                    return_aux: bool = False):
     dtype = splats.position.dtype
     op = jnp.ones((splats.count,), dtype) if opacity is None else opacity
     proj = project_splats(splats.position, splats.cov, splats.color, op,
                           camera, sort_mean3=sort_mean3)
-    return render_projected(proj, camera, cfg)
+    return render_projected(proj, camera, cfg, return_aux=return_aux)
 
 
 def render_splats2d(splats, camera: Camera,
@@ -304,14 +372,15 @@ def render_splats2d(splats, camera: Camera,
 
 def render_splats4d(splats: Splats4D, camera: Camera, t,
                     min_opacity=0.0,
-                    cfg: RenderConfig = RenderConfig()) -> jax.Array:
+                    cfg: RenderConfig = RenderConfig(),
+                    return_aux: bool = False):
     """The flagship path: 4D slice + EWA + tiled ordered composite, one jit,
     zero host round trips. For 10M+ splats use render_params4d_packed —
     (N,4,4) covariance tensors get pathological TPU layouts at that scale."""
     sliced, top = splats.at_time(t, min_opacity)
     sort_mean = mean_in_time_sortkey(splats.position, splats.cov, t)
     return render_splats3d(sliced, camera, opacity=top, sort_mean3=sort_mean,
-                           cfg=cfg)
+                           cfg=cfg, return_aux=return_aux)
 
 
 def render_params4d_packed(params: dict, camera: Camera, t, min_opacity=0.0,
