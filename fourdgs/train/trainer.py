@@ -30,6 +30,41 @@ class FitResult:
     losses: List[float]
 
 
+class MetricsLogger:
+    """Structured training metrics: one JSON object per event appended to a
+    JSONL file (and optionally echoed). The reference's only metric surface
+    is an ImGui FPS readout (DebugMenus.h:114); training metrics are a new
+    capability, logged in a grep/pandas-friendly shape."""
+
+    def __init__(self, path: Optional[str] = None, echo: bool = False):
+        self.path = path
+        self.echo = echo
+        self._t0 = __import__("time").time()
+        if path:
+            os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+            self._f = open(path, "a")
+        else:
+            self._f = None
+
+    def log(self, event: str, **fields) -> None:
+        import json
+        import time
+        rec = {"event": event, "wall_s": round(time.time() - self._t0, 3),
+               **{k: (float(v) if hasattr(v, "dtype") or
+                      isinstance(v, (int, float)) else v)
+                  for k, v in fields.items()}}
+        line = json.dumps(rec)
+        if self._f:
+            self._f.write(line + "\n")
+            self._f.flush()
+        if self.echo:
+            print(line)
+
+    def close(self) -> None:
+        if self._f:
+            self._f.close()
+
+
 def make_loss_fn(camera: Camera, cfg: RenderConfig, min_opacity=0.0,
                  ssim_weight: float = 0.0) -> Callable:
     def loss_fn(params, target, t):
@@ -52,7 +87,8 @@ def fit(params: Dict[str, jax.Array],
         densify_cfg: "Optional[DensifyConfig]" = None,
         densify_every: int = 50,
         densify_until: float = 0.7,
-        seed: int = 0) -> FitResult:
+        seed: int = 0,
+        metrics: Optional[MetricsLogger] = None) -> FitResult:
     """Fit splat parameters to (target_image, t) frames by cycling through
     them with Adam. Small-scale convenience API; for multi-chip use
     parallel.distributed.make_sharded_train_step.
@@ -95,12 +131,19 @@ def fit(params: Dict[str, jax.Array],
         params, opt_state, loss, grads = step(params, opt_state, target,
                                               jnp.asarray(t))
         losses.append(float(loss))
+        if metrics is not None and (log_every == 0 or i % max(log_every, 1) == 0):
+            metrics.log("train_step", step=i, loss=losses[-1], t=float(t))
         if densify_cfg is not None:
             dstate = accumulate_jit(dstate, grads)
             if (i + 1) % densify_every == 0 and i + 1 < densify_until * steps:
                 key, sub = jax.random.split(key)
                 params, dstate, info = densify_jit(params, dstate, sub)
                 opt_state = opt.init(params)
+                if metrics is not None:
+                    metrics.log("densify", step=i,
+                                n_pruned=int(info["n_pruned"]),
+                                n_placed=int(info["n_placed"]),
+                                n_split=int(info["n_split"]))
                 if log_every:
                     print(f"step {i}: densify pruned="
                           f"{int(info['n_pruned'])} placed="

@@ -144,6 +144,24 @@ class TestCheckpoint:
                                            np.asarray(params[k]), atol=1e-6)
 
 
+class TestMetricsLogger:
+    def test_jsonl_output(self):
+        import json
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "metrics.jsonl")
+            m = trainer.MetricsLogger(path)
+            params = make_params(jax.random.PRNGKey(6), n=8)
+            target = render_splats4d(materialize_splats(params), CAM, 0.0,
+                                     cfg=CFG)
+            trainer.fit(params, [(target, 0.0)], CAM, steps=3,
+                        cfg=CFG, metrics=m)
+            m.close()
+            lines = [json.loads(l) for l in open(path)]
+            assert len(lines) == 3
+            assert all(l["event"] == "train_step" for l in lines)
+            assert all(np.isfinite(l["loss"]) for l in lines)
+
+
 if __name__ == "__main__":
     import sys
     sys.exit(pytest.main([__file__, "-q"]))
