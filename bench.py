@@ -73,6 +73,8 @@ def main() -> int:
     slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 512))
     passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
     tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
+    budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
+    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 0))
 
     import jax
     import jax.numpy as jnp
@@ -91,11 +93,14 @@ def main() -> int:
                            far=5000.0, width=width, height=height)
     if backend == "pallas":
         cfg = RenderConfig(tile_h=tile_h, tile_w=128, backend="pallas",
-                           max_splats_per_tile=slab, max_tiles_per_splat=4,
+                           max_splats_per_tile=slab,
+                           max_tiles_per_splat=budget,
                            splat_chunk=128, quantized_depth_sort=True,
+                           sort_compact_keep_cols=compact,
                            deepening_passes=passes, deepening_fraction=0.34)
     else:
-        cfg = RenderConfig(max_splats_per_tile=2048, max_tiles_per_splat=4,
+        cfg = RenderConfig(max_splats_per_tile=2048,
+                           max_tiles_per_splat=budget,
                            splat_chunk=128, quantized_depth_sort=True)
 
     render = jax.jit(lambda s, t: render_params4d_packed(s, camera, t, cfg=cfg,
@@ -127,10 +132,12 @@ def main() -> int:
         "vs_baseline": round(fps / 30.0, 3),
     }
     # Diagnostics on stderr; the driver consumes the stdout JSON line.
+    dropped = int(aux.get("compact_dropped", 0))
     print(f"# compile {compile_s:.1f}s, best frame {best*1000:.1f}ms, "
           f"{n / best / 1e6:.1f}M splats/s, mean rgb "
           f"{float(jnp.mean(img[..., :3])):.4f}, pair-budget overflow "
-          f"{overflow}, live pairs {live_pairs:,}, deepest tile "
+          f"{overflow}, compact dropped {dropped}, live pairs "
+          f"{live_pairs:,}, deepest tile "
           f"{max_tile_pairs:,} (composited depth cap {slab * passes:,})",
           file=sys.stderr)
     print(json.dumps(result))

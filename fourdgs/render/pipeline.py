@@ -50,6 +50,12 @@ class RenderConfig:
     # of exact argsort + permutation (see render/tiles.py). Exact ordering
     # differences are below visual precision; tests use the exact path.
     quantized_depth_sort: bool = False
+    # Pair compaction ahead of the global sort (quantized path only):
+    # batched VMEM row sort pushes dead pair slots to row tails, keep this
+    # many columns of each COMPACT_ROW_LEN-wide row (0 = off). Size it at
+    # ceil(live_fraction * 8192 + margin, 128); dropped live pairs are
+    # counted in aux["compact_dropped"] — keep it 0.
+    sort_compact_keep_cols: int = 0
     # Progressive deepening (pallas backend): composite depth slabs of
     # max_splats_per_tile, then re-composite ONLY still-unsaturated tiles
     # with the next slab (carrying rgb/alpha/transmittance). Bounds memory
@@ -182,7 +188,9 @@ def render_projected(proj: Projected, camera: Camera,
     binning = bin_splats(proj, p00, p11, w, h,
                          tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                          max_tiles_per_splat=cfg.max_tiles_per_splat,
-                         quantized_depth=use_quant)
+                         quantized_depth=use_quant,
+                         compact_keep_cols=(cfg.sort_compact_keep_cols
+                                            if use_quant else 0))
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
@@ -204,6 +212,8 @@ def render_projected(proj: Projected, camera: Camera,
         "live_pairs": binning.tile_start[-1],      # total emitted pairs
         "max_tile_pairs": jnp.max(counts),         # deepest tile's pairs
     }
+    if binning.compact_dropped is not None:
+        aux["compact_dropped"] = binning.compact_dropped
     return img, aux
 
 

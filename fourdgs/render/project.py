@@ -58,6 +58,9 @@ LAMBDA_EPS = 1e-6          # eigenvalue clamp (GLSL :67)
 CULL_BOUND = 1.2           # NDC xy cull bound (GLSL :109)
 ALPHA_DISCARD = 1e-4       # fragment discard threshold (Splat4DFragShader:30)
 FOOTPRINT_SCALE = 8.0      # fragment-coordinate scale (GLSL :146)
+# Radius of the w >= 1e-4 discard threshold in normalized quad coords:
+# exp(-32 r^2) = 1e-4  =>  r = sqrt(ln(1e4)/32) = 0.536492; +0.1% slack.
+R_COVER = 0.5371
 
 
 def eigen2x2_scalar(a, b, c):
@@ -122,11 +125,24 @@ class Projected:
         return self.mx.shape[0]
 
     def half_extent_ndc(self, p00: jax.Array, p11: jax.Array):
-        """Half extents (hx, hy) in NDC of the rasterized quad: the image of
-        [-0.5, 0.5]^2 under k -> (P00, P11) * R S k. Used for tile binning."""
-        hx = 0.5 * (jnp.abs(self.v0x) * self.l0 + jnp.abs(self.v0y) * self.l1)
-        hy = 0.5 * (jnp.abs(self.v0y) * self.l0 + jnp.abs(self.v0x) * self.l1)
-        return hx * p00, hy * p11
+        """Half extents (hx, hy) in NDC of the visible footprint, for tile
+        binning. A pixel contributes only if it passes BOTH coverage tests
+        (ops/composite_pallas.py `cover`): the quad clip |n_i| <= 0.5 AND the
+        discard threshold w >= 1e-4, i.e. n0^2 + n1^2 <= ln(1e4)/32. The
+        footprint is therefore quad INTERSECT ellipse; per axis the AABB is
+        the min of the two shapes' AABBs. The ellipse bound trims the quad's
+        corners (up to 24% tighter at 45 deg rotation), which means fewer
+        (tile, splat) pairs and less pair-budget overflow with a bit-identical
+        image. R_COVER carries ~0.1% slack so compiled-FMA rounding at the
+        w-threshold can never un-cover a pixel outside the box."""
+        ax, ay = jnp.abs(self.v0x), jnp.abs(self.v0y)
+        qx = 0.5 * (ax * self.l0 + ay * self.l1)
+        qy = 0.5 * (ay * self.l0 + ax * self.l1)
+        ex = R_COVER * jnp.sqrt((self.v0x * self.l0) ** 2
+                                + (self.v0y * self.l1) ** 2)
+        ey = R_COVER * jnp.sqrt((self.v0y * self.l0) ** 2
+                                + (self.v0x * self.l1) ** 2)
+        return jnp.minimum(qx, ex) * p00, jnp.minimum(qy, ey) * p11
 
 
 def project_components(mx, my, mz, cov3, colors, opacity, camera: Camera,

@@ -47,9 +47,47 @@ class TileBinning:
     pair_tile: jax.Array
     tile_start: jax.Array
     overflowed: jax.Array
+    # live pairs lost to the compaction column cap (None when compaction is
+    # off); callers surface it via aux — never silently nonzero.
+    compact_dropped: jax.Array | None = None
 
 
 QUANT_DEPTH_BITS = 20
+
+COMPACT_ROW_LEN = 8192  # batched-VMEM row-sort width for pair compaction
+
+
+def compact_pairs(key: jax.Array, val: jax.Array, dead: int, keep_cols: int):
+    """Shrink a mostly-dead pair array before the global sort.
+
+    The pair arrays have a fixed slot budget (max_tiles_per_splat * N) but
+    only ~half the slots are live; the global kv `lax.sort` (~3.1 ns/elem on
+    TPU v5e) pays for every dead slot. A batched row sort over
+    (rows, COMPACT_ROW_LEN) is ~4x cheaper per element (VMEM-resident rows),
+    and pushes every row's dead slots (key == dead sentinel = int32 max) to
+    its tail; keeping the first `keep_cols` columns then drops almost only
+    dead slots. Rows are STRIDED views of the flat array (element i of row r
+    is key[i * rows + r]) so each row samples splats uniformly across the
+    whole range and across bbox slots — row liveness concentrates around the
+    global live fraction even for spatially-ordered splat lists (a contiguous
+    split would let one model region saturate a row).
+
+    Returns (key_kept, val_kept, dropped): dropped counts LIVE pairs lost to
+    the cap — callers must surface it (aux) and size keep_cols so it is 0 in
+    practice (live_frac + ~6 sigma; binomial sigma = sqrt(p(1-p)L) ~ 45).
+    """
+    s = key.shape[0]
+    rows = -(-s // COMPACT_ROW_LEN)
+    pad = rows * COMPACT_ROW_LEN - s
+    if pad:
+        key = jnp.concatenate([key, jnp.full((pad,), dead, key.dtype)])
+        val = jnp.concatenate([val, jnp.zeros((pad,), val.dtype)])
+    kr = key.reshape(COMPACT_ROW_LEN, rows).T
+    vr = val.reshape(COMPACT_ROW_LEN, rows).T
+    ks, vs = jax.lax.sort((kr, vr), dimension=1, num_keys=1, is_stable=False)
+    dropped = jnp.sum(ks[:, keep_cols:] != dead)
+    return (ks[:, :keep_cols].reshape(-1), vs[:, :keep_cols].reshape(-1),
+            dropped)
 
 
 def splat_tile_bbox(proj: Projected, p00, p11, width: int, height: int,
@@ -121,7 +159,7 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                tile_h: int = TILE_H, tile_w: int = TILE_W,
                max_tiles_per_splat: int = 16,
                quantized_depth: bool = False,
-               tile_range=None) -> TileBinning:
+               tile_range=None, compact_keep_cols: int = 0) -> TileBinning:
     """Build sorted (tile, splat) pairs.
 
     tile_range=(lo, n_local): restrict binning to the local tile window
@@ -168,6 +206,10 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         key = jnp.concatenate([
             jnp.where(live_s, (tid_s << QUANT_DEPTH_BITS) | dbits, dead)
             for tid_s, live_s in zip(tids, lives)])
+        compact_dropped = None
+        if compact_keep_cols:
+            key, splat_idx, compact_dropped = compact_pairs(
+                key, splat_idx, dead, compact_keep_cols)
         # Unstable: ties within a (tile, 20-bit depth) bucket order
         # arbitrarily — the reference's radix sort breaks exact ties
         # arbitrarily too. Stability costs ~35% of the sort at 40M pairs.
@@ -201,7 +243,10 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             bounds = jnp.arange(num_tiles + 1, dtype=jnp.int32)
         tile_start = searchsorted_i32(tid_s, bounds)
 
+    if not quantized_depth:
+        compact_dropped = None
     return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
+                       compact_dropped=compact_dropped,
                        tile_start=tile_start, overflowed=overflowed)
 
 
