@@ -74,7 +74,8 @@ def main() -> int:
     passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
     tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
     budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
-    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 0))
+    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 3968))
+    big_budget = int(os.environ.get("FOURDGS_BENCH_BIG_BUDGET", 16))
 
     import jax
     import jax.numpy as jnp
@@ -97,6 +98,7 @@ def main() -> int:
                            max_tiles_per_splat=budget,
                            splat_chunk=128, quantized_depth_sort=True,
                            sort_compact_keep_cols=compact,
+                           big_splat_budget=big_budget,
                            deepening_passes=passes, deepening_fraction=0.34)
     else:
         cfg = RenderConfig(max_splats_per_tile=2048,

@@ -54,10 +54,15 @@ def main() -> int:
     tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
     slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 512))
     passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
+    budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
+    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 3968))
+    big_budget = int(os.environ.get("FOURDGS_BENCH_BIG_BUDGET", 16))
     cfg = RenderConfig(tile_h=tile_h if on_tpu else 8, tile_w=128,
                        backend=backend,
-                       max_splats_per_tile=slab, max_tiles_per_splat=4,
+                       max_splats_per_tile=slab, max_tiles_per_splat=budget,
                        splat_chunk=128, quantized_depth_sort=on_tpu,
+                       sort_compact_keep_cols=compact if on_tpu else 0,
+                       big_splat_budget=big_budget if on_tpu else 0,
                        deepening_passes=passes if backend == "pallas" else 1,
                        deepening_fraction=0.34)
 

@@ -414,11 +414,18 @@ def _composite_bwd_pallas(records, counts, kx, ky, carry, fwd_out, g):
                               g_ref.at[0], out_ref.at[0])
 
     interpret = jax.default_backend() != "tpu"
+    # The backward body holds ~12 live (CHUNK, P) f32 temporaries (recompute
+    # + prefix scans + per-field cotangents); at P=2048 that exceeds the
+    # 16 MiB default scoped-VMEM budget. v5e has headroom above the default;
+    # raise the cap instead of shrinking CHUNK (which would double the
+    # serial chain).
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((t_tiles, _F, m), dtype),
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
     )(counts, records, kx, ky, carry, fwd_out, g)
 
 

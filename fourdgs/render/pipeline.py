@@ -56,6 +56,13 @@ class RenderConfig:
     # ceil(live_fraction * 8192 + margin, 128); dropped live pairs are
     # counted in aux["compact_dropped"] — keep it 0.
     sort_compact_keep_cols: int = 0
+    # Two-tier pair emission (quantized path): splats whose bbox spans more
+    # than max_tiles_per_splat tiles are compacted (fixed capacity
+    # big_splat_keep_cols per 8192-wide row) and re-emitted with this slot
+    # budget (0 = off). Kills pair-budget overflow without paying a larger
+    # budget for every splat.
+    big_splat_budget: int = 0
+    big_splat_keep_cols: int = 128
     # Progressive deepening (pallas backend): composite depth slabs of
     # max_splats_per_tile, then re-composite ONLY still-unsaturated tiles
     # with the next slab (carrying rgb/alpha/transmittance). Bounds memory
@@ -190,7 +197,9 @@ def render_projected(proj: Projected, camera: Camera,
                          max_tiles_per_splat=cfg.max_tiles_per_splat,
                          quantized_depth=use_quant,
                          compact_keep_cols=(cfg.sort_compact_keep_cols
-                                            if use_quant else 0))
+                                            if use_quant else 0),
+                         big_splat_budget=cfg.big_splat_budget,
+                         big_splat_keep_cols=cfg.big_splat_keep_cols)
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 

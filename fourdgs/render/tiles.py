@@ -110,13 +110,15 @@ def splat_tile_bbox(proj: Projected, p00, p11, width: int, height: int,
 
 
 def _emit_pair_slots(alive, tx0, tx1, ty0, ty1, nx, num_tiles: int,
-                     max_tiles_per_splat: int, tile_range=None):
+                     max_tiles_per_splat: int, tile_range=None,
+                     splat_ids=None):
     """Fixed-budget (tile, splat) pair emission, slot-major.
 
     Returns (tids, lives, splat_idx, overflowed): per-slot lists of (N,)
     tile ids (num_tiles for dead) and live masks, the concatenated (S*N,)
     splat index array, and the count of splats whose bbox exceeded the
-    budget.
+    budget. `splat_ids` overrides the emitted splat indices (the big-splat
+    tier emits for a compacted id subset).
 
     LAYOUT: slot-major — one (N,) array per slot, concatenated. An (N, S)
     layout puts S on the 128-lane axis and pads 32x in HBM (measured
@@ -130,7 +132,8 @@ def _emit_pair_slots(alive, tx0, tx1, ty0, ty1, nx, num_tiles: int,
     overflowed = jnp.sum((span > max_tiles_per_splat) & alive)
 
     safe_nx = jnp.maximum(nx_span, 1)
-    idx1 = jnp.arange(n, dtype=jnp.int32)
+    idx1 = (jnp.arange(n, dtype=jnp.int32) if splat_ids is None
+            else splat_ids.astype(jnp.int32))
     tids, lives = [], []
     for s in range(max_tiles_per_splat):
         sy = s // safe_nx
@@ -159,7 +162,9 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                tile_h: int = TILE_H, tile_w: int = TILE_W,
                max_tiles_per_splat: int = 16,
                quantized_depth: bool = False,
-               tile_range=None, compact_keep_cols: int = 0) -> TileBinning:
+               tile_range=None, compact_keep_cols: int = 0,
+               big_splat_budget: int = 0,
+               big_splat_keep_cols: int = 128) -> TileBinning:
     """Build sorted (tile, splat) pairs.
 
     tile_range=(lo, n_local): restrict binning to the local tile window
@@ -194,8 +199,27 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
     # on-screen test: bbox intersects the image at all.
     alive, tx0, tx1, ty0, ty1 = splat_tile_bbox(proj, p00, p11, width,
                                                 height, tile_h, tile_w)
+
+    # Two-tier emission (quantized path): the common case keeps the small
+    # slot budget; the rare wide-span splats (span > budget — e.g. large
+    # near-camera splats; ~0.01% of the 10M cube) are compacted into a
+    # fixed-capacity id list and re-emitted with `big_splat_budget` slots.
+    # Pair-slot cost stays ~budget*N + big_budget*capacity instead of
+    # raising the budget for everyone, and the pair-budget overflow that
+    # silently dropped those splats' far tiles goes to zero. Every loss
+    # path stays accounted: spans beyond even the big budget and big splats
+    # past capacity both count into `overflowed`.
+    two_tier = bool(big_splat_budget) and quantized_depth
+    if two_tier:
+        assert big_splat_budget > max_tiles_per_splat
+        span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+        is_big = alive & (span > max_tiles_per_splat)
+        alive1 = alive & ~is_big
+    else:
+        alive1 = alive
+
     tids, lives, splat_idx, overflowed = _emit_pair_slots(
-        alive, tx0, tx1, ty0, ty1, nx, num_tiles, max_tiles_per_splat,
+        alive1, tx0, tx1, ty0, ty1, nx, num_tiles, max_tiles_per_splat,
         tile_range)
 
     if quantized_depth:
@@ -206,6 +230,25 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         key = jnp.concatenate([
             jnp.where(live_s, (tid_s << QUANT_DEPTH_BITS) | dbits, dead)
             for tid_s, live_s in zip(tids, lives)])
+        if two_tier:
+            n = alive.shape[0]
+            iota = jnp.arange(n, dtype=jnp.int32)
+            bkey = jnp.where(is_big, iota, dead)
+            ids, _, big_dropped = compact_pairs(bkey, bkey, dead,
+                                                big_splat_keep_cols)
+            blive = ids != dead
+            safe = jnp.minimum(ids, n - 1)
+            tidsb, livesb, sidxb, _ = _emit_pair_slots(
+                blive, tx0[safe], tx1[safe], ty0[safe], ty1[safe], nx,
+                num_tiles, big_splat_budget, tile_range, splat_ids=safe)
+            dbits_b = dbits[safe]
+            keyb = jnp.concatenate([
+                jnp.where(l, (ti << QUANT_DEPTH_BITS) | dbits_b, dead)
+                for ti, l in zip(tidsb, livesb)])
+            key = jnp.concatenate([key, keyb])
+            splat_idx = jnp.concatenate([splat_idx, sidxb])
+            overflowed = (jnp.sum(is_big & (span > big_splat_budget))
+                          + big_dropped)
         compact_dropped = None
         if compact_keep_cols:
             key, splat_idx, compact_dropped = compact_pairs(

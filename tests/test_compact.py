@@ -92,6 +92,47 @@ class TestCompactPairs:
                                    atol=1e-6)
 
 
+class TestTwoTierEmission:
+    def _big_scene(self):
+        # Mix of small splats and a few huge ones spanning many tiles.
+        splats = make_scene(jax.random.PRNGKey(11), n=120)
+        cov = splats.cov.at[:6].multiply(64.0)  # ~8x linear footprint
+        return G.Splats3D(position=splats.position, color=splats.color,
+                          cov=cov)
+
+    def test_matches_single_tier_big_budget(self):
+        splats = self._big_scene()
+        ref_cfg = RenderConfig(max_splats_per_tile=256, splat_chunk=32,
+                               quantized_depth_sort=True,
+                               max_tiles_per_splat=32)
+        two_cfg = RenderConfig(max_splats_per_tile=256, splat_chunk=32,
+                               quantized_depth_sort=True,
+                               max_tiles_per_splat=4, big_splat_budget=32)
+        img_ref, aux_ref = pipeline.render_splats3d(splats, CAM, cfg=ref_cfg,
+                                                    return_aux=True)
+        img_two, aux_two = pipeline.render_splats3d(splats, CAM, cfg=two_cfg,
+                                                    return_aux=True)
+        assert int(aux_ref["overflowed"]) == 0
+        assert int(aux_two["overflowed"]) == 0
+        np.testing.assert_allclose(np.asarray(img_two), np.asarray(img_ref),
+                                   atol=2e-5)
+        # And the small budget alone WOULD have overflowed (the tier matters)
+        small = RenderConfig(max_splats_per_tile=256, splat_chunk=32,
+                             quantized_depth_sort=True, max_tiles_per_splat=4)
+        _, aux_small = pipeline.render_splats3d(splats, CAM, cfg=small,
+                                                return_aux=True)
+        assert int(aux_small["overflowed"]) > 0
+
+    def test_overflow_counts_spans_beyond_big_budget(self):
+        splats = self._big_scene()
+        tiny_big = RenderConfig(max_splats_per_tile=256, splat_chunk=32,
+                                quantized_depth_sort=True,
+                                max_tiles_per_splat=2, big_splat_budget=3)
+        _, aux = pipeline.render_splats3d(splats, CAM, cfg=tiny_big,
+                                          return_aux=True)
+        assert int(aux["overflowed"]) > 0
+
+
 class TestTightBBox:
     def test_bbox_contains_every_covered_pixel(self):
         """For random projected splats, any pixel passing the compositor's
