@@ -90,10 +90,18 @@ def check_composite_records(p, seed=0):
     def run_x(r, c):
         return _xla_composite_from_records(r, counts, kx, ky, c)
 
-    _, vjp_k = jax.vjp(run_k, rec, carry)
-    _, vjp_x = jax.vjp(run_x, rec, carry)
-    dk = jax.jit(vjp_k)(g)
-    dx = jax.jit(vjp_x)(g)
+    # Build the VJP INSIDE the jit with (rec, carry, g) as arguments:
+    # jitting the returned vjp closure instead would bake the residuals
+    # into the program as constants (hundreds of MB of MLIR — the tunnel's
+    # remote-compile endpoint rejects the payload with HTTP 413).
+    def vjp_of(run):
+        def pull(r, c, ct):
+            _, f = jax.vjp(run, r, c)
+            return f(ct)
+        return jax.jit(pull)
+
+    dk = vjp_of(run_k)(rec, carry, g)
+    dx = vjp_of(run_x)(rec, carry, g)
     d_rec = _maxdiff(dk[0], dx[0]) / _relscale(dx[0])
     # carry cotangent: compare only rows 0..4 (5..7 are dead padding).
     d_car = _maxdiff(dk[1][:, 0:5], dx[1][:, 0:5]) / _relscale(dx[1][:, 0:5])
