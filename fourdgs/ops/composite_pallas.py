@@ -19,8 +19,13 @@ Layouts are chosen for Mosaic: per-tile records are (M, F) so a chunk load is
 a (128, F) dynamic-sublane slice; pixels are a flat (1, 1024) lane vector;
 field extraction is a static lane slice of the loaded chunk value.
 
-Gradients: `composite_records` carries a custom VJP whose backward re-runs
-the mathematically identical XLA twin under jax.vjp — gradients are exact.
+Gradients: `composite_records` carries a custom VJP whose backward is a
+hand-written Pallas kernel (`_composite_bwd_kernel`): it recomputes the
+per-chunk transmittances from the saved inputs (flash-attention-style
+rematerialisation — nothing per-(splat, pixel) is ever stored to HBM) and
+accumulates exact gradients for every record field and the carry. The XLA
+twin (`_composite_carry_xla`) remains as the cross-check used by the tests
+and validate_kernels.py.
 """
 
 from __future__ import annotations

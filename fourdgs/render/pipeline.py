@@ -109,7 +109,7 @@ def _gather_tile_lists(proj: Projected, binning, cfg: RenderConfig,
 def _composite_tiles_xla(proj: Projected, tile_splat: jax.Array,
                          tile_live: jax.Array, px: jax.Array, py: jax.Array,
                          p00, p11, background: jax.Array,
-                         chunk: int) -> jax.Array:
+                         chunk: int, return_resid: bool = False):
     """Pure-XLA per-tile ordered composite.
 
     tile_splat (T, M) indexes into proj fields; px/py (T, P) NDC pixel
@@ -168,7 +168,10 @@ def _composite_tiles_xla(proj: Projected, tile_splat: jax.Array,
     t_fin = jnp.exp(log_t)
     rgb = rgb + t_fin[..., None] * background[:3]
     a = a + t_fin * background[3]
-    return jnp.concatenate([rgb, a[..., None]], axis=-1)
+    tiles = jnp.concatenate([rgb, a[..., None]], axis=-1)
+    if return_resid:
+        return tiles, t_fin
+    return tiles
 
 
 def render_projected(proj: Projected, camera: Camera,
@@ -203,23 +206,33 @@ def render_projected(proj: Projected, camera: Camera,
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
+    counts = binning.tile_start[1:] - binning.tile_start[:-1]
     if cfg.backend == "pallas":
-        tiles = _composite_pallas_progressive(proj, binning, px, py, p00,
-                                              p11, bg, cfg)
+        tiles, resid = _composite_pallas_progressive(
+            proj, binning, px, py, p00, p11, bg, cfg, return_resid=True)
     else:
         ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
         tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg,
                                                    ny * nx)
-        tiles = _composite_tiles_xla(proj, tile_splat, tile_live, px, py,
-                                     p00, p11, bg, cfg.splat_chunk)
+        tiles, t_fin = _composite_tiles_xla(proj, tile_splat, tile_live, px,
+                                            py, p00, p11, bg, cfg.splat_chunk,
+                                            return_resid=True)
+        resid = t_fin * (counts > cfg.max_splats_per_tile)[:, None]
     img = assemble_image(tiles, w, h, cfg.tile_h, cfg.tile_w)
     if not return_aux:
         return img
-    counts = binning.tile_start[1:] - binning.tile_start[:-1]
     aux = {
         "overflowed": binning.overflowed,          # splats past pair budget
         "live_pairs": binning.tile_start[-1],      # total emitted pairs
         "max_tile_pairs": jnp.max(counts),         # deepest tile's pairs
+        # Per-pixel error bound on tile-capacity truncation: the remaining
+        # transmittance of any tile whose pair list was truncated bounds
+        # the total contribution of every dropped pair (sum of dropped
+        # alpha*T <= T at truncation). 0 == the image is exact w.r.t.
+        # per-tile capacity; goldens assert this stays < tolerance so
+        # binning/bbox changes cannot silently re-pin truncation artifacts
+        # (round-2 regression: see VERDICT.md weak #1/#2).
+        "resid_transmittance": jnp.max(resid),
     }
     if binning.compact_dropped is not None:
         aux["compact_dropped"] = binning.compact_dropped
@@ -227,7 +240,8 @@ def render_projected(proj: Projected, camera: Camera,
 
 
 def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
-                                  background, cfg: RenderConfig) -> jax.Array:
+                                  background, cfg: RenderConfig,
+                                  return_resid: bool = False):
     """Progressive-deepening composite (pallas backend; handles passes=1).
 
     Pass 1 composites every tile's nearest `max_splats_per_tile` splats.
@@ -286,7 +300,11 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
 
     rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
     a = out[:, 3, :] + out[:, 4, :] * background[3]
-    return jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
+    tiles = jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
+    if return_resid:
+        truncated = (counts_full - slab_done * m) > 0
+        return tiles, out[:, 4, :] * truncated[:, None]
+    return tiles
 
 
 def _composite_pairrec_progressive(rec_pairs: jax.Array, tile_start: jax.Array,

@@ -247,7 +247,10 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                 for ti, l in zip(tidsb, livesb)])
             key = jnp.concatenate([key, keyb])
             splat_idx = jnp.concatenate([splat_idx, sidxb])
-            overflowed = (jnp.sum(is_big & (span > big_splat_budget))
+            # Span overflow counted only among KEPT big splats: one dropped
+            # by the capacity cap is already in big_dropped (counting its
+            # span overflow too would double-count it).
+            overflowed = (jnp.sum(blive & (span[safe] > big_splat_budget))
                           + big_dropped)
         compact_dropped = None
         if compact_keep_cols:

@@ -19,3 +19,10 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: heavy tests (dense goldens, distributed suites). Fast edit "
+        "loop: pytest -m 'not slow'; the FULL suite is the pre-commit gate.")

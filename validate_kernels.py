@@ -1,56 +1,49 @@
-"""On-TPU kernel validation: compiled Pallas fwd+bwd vs the XLA twin.
+"""On-TPU kernel validation: compiled Pallas fwd+bwd vs f64 ground truth.
 
 The test suite runs the Pallas compositor in interpret mode (CPU); this
 script is the compiled-execution analog of the reference's GPU sort
 self-checks (resources/sort_test_*.comp.glsl, SURVEY.md section 4.1): run it
-alongside bench.py on a real chip to certify that the *compiled* kernels
-(forward and the hand-written backward) agree with the mathematically
-identical XLA implementation.
+alongside bench.py on a real chip to certify the *compiled* kernels.
+
+Round-3 finding (the round-2 run failed its own thresholds): comparing the
+compiled kernel against the f32 XLA twin ON TPU conflates two error sources.
+Measured against an f64 reference, the compiled Pallas kernel (product-space
+transmittance scan) is ~3e-6 accurate, while the f32 XLA twin drifts ~2e-3
+on TPU — its log1p/exp-cumsum round trip compounds TPU transcendental
+approximation error over 256-deep blends. So the pass gate here compares
+each implementation against an f64 reference computed on CPU (in a
+subprocess, since x64 mode cannot coexist with the i32-indexed kernel), and
+requires the compiled kernel to be at least as faithful as the twin.
+
+Checks:
+  1. composite_records compiled vs f64 reference (fwd), with a nontrivial
+     carry (deepening slab case), at 8x128 and 16x128 tiles.
+  2. VJP of the same (hand-written backward kernel vs f64 jax.vjp through
+     the twin), records + carry cotangents.
+  3. Full pipeline image + parameter gradients: pallas backend vs xla
+     backend at matched configs (exact sort), including deepening.
 
 Writes KERNELCHECK.json (one JSON object; "pass": true/false) and exits
 nonzero on failure.
-
-Checks:
-  1. composite_records compiled vs _xla_composite_from_records (fwd), with
-     a nontrivial carry (deepening slab case), at 8x128 and 16x128 tiles.
-  2. VJP of the same (hand-written backward kernel vs jax.vjp through the
-     twin), records + carry cotangents.
-  3. Full pipeline image + parameter gradients: pallas backend vs xla
-     backend at matched configs (exact sort), including deepening.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import subprocess
 import sys
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
-
-def _maxdiff(a, b):
-    return float(jnp.max(jnp.abs(a - b)))
+REF_PATH = "/tmp/fourdgs_kernelcheck_ref.npz"
 
 
-def _tree_maxdiff(a, b):
-    leaves = jax.tree_util.tree_map(_maxdiff, a, b)
-    return max(jax.tree_util.tree_leaves(leaves))
-
-
-def _relscale(tree):
-    return max(1e-3, max(float(jnp.max(jnp.abs(l)))
-                         for l in jax.tree_util.tree_leaves(tree)))
-
-
-def check_composite_records(p, seed=0):
-    """Random records at pixel-tile size p: compiled kernel vs XLA twin."""
-    from fourdgs.ops.composite_pallas import (_F, composite_records,
-                                              _xla_composite_from_records,
-                                              identity_carry)
+def build_fixture(p, seed=0):
+    """Deterministic record/pixel/carry fixture (numpy, f32)."""
     t_tiles, m = 12, 256
     rng = np.random.default_rng(seed)
-    rec = np.zeros((t_tiles, _F, m), np.float32)
+    rec = np.zeros((t_tiles, 16, m), np.float32)
     rec[:, 0] = rng.normal(0.0, 0.3, (t_tiles, m))        # sx (k units)
     rec[:, 1] = rng.normal(0.0, 0.3, (t_tiles, m))        # sy
     theta = rng.uniform(0, 2 * np.pi, (t_tiles, m))
@@ -60,57 +53,106 @@ def check_composite_records(p, seed=0):
     rec[:, 5] = 1.0 / rng.uniform(0.02, 0.3, (t_tiles, m))  # 1/l1
     rec[:, 6:9] = rng.uniform(0, 1, (t_tiles, 3, m))
     rec[:, 9] = rng.uniform(0, 0.9, (t_tiles, m))
-    rec = jnp.asarray(rec)
-    counts = jnp.asarray(
-        rng.integers(0, m + 1, t_tiles, dtype=np.int32))
-    kx = jnp.asarray(rng.normal(0.0, 0.4, (t_tiles, 1, p)).astype(np.float32))
-    ky = jnp.asarray(rng.normal(0.0, 0.4, (t_tiles, 1, p)).astype(np.float32))
-    # Nontrivial carry (as in a deepening pass).
-    carry = identity_carry(t_tiles, jnp.float32, p)
-    carry = carry.at[:, 0:4, :].set(
-        jnp.asarray(rng.uniform(0, 0.3, (t_tiles, 4, p)).astype(np.float32)))
-    carry = carry.at[:, 4, :].multiply(
-        jnp.asarray(rng.uniform(0.2, 1.0, (t_tiles, p)).astype(np.float32)))
+    counts = rng.integers(0, m + 1, t_tiles, dtype=np.int32)
+    kx = rng.normal(0.0, 0.4, (t_tiles, 1, p)).astype(np.float32)
+    ky = rng.normal(0.0, 0.4, (t_tiles, 1, p)).astype(np.float32)
+    carry = np.zeros((t_tiles, 8, p), np.float32)
+    carry[:, 4] = 1.0
+    carry[:, 0:4] = rng.uniform(0, 0.3, (t_tiles, 4, p)).astype(np.float32)
+    carry[:, 4] *= rng.uniform(0.2, 1.0, (t_tiles, p)).astype(np.float32)
+    # counts semantics differ between kernel and twin: zero a_eff past
+    # counts so both see the same live set.
+    live = (np.arange(m)[None, :] < counts[:, None]).astype(np.float32)
+    rec[:, 9, :] *= live
+    g = rng.normal(0, 1, (t_tiles, 8, p)).astype(np.float32)
+    g[:, 5:8] = 0.0
+    return dict(rec=rec, counts=counts, kx=kx, ky=ky, carry=carry, g=g)
 
-    # counts semantics differ: kernel stops at counts, twin composites all
-    # records — zero a_eff past counts so both see the same live set.
-    live = (jnp.arange(m)[None, :] < counts[:, None]).astype(jnp.float32)
-    rec = rec.at[:, 9, :].multiply(live)
 
-    fwd_k = jax.jit(composite_records)(rec, counts, kx, ky, carry)
-    fwd_x = jax.jit(_xla_composite_from_records)(rec, counts, kx, ky, carry)
-    d_fwd = _maxdiff(fwd_k[:, 0:5], fwd_x[:, 0:5])
+FIXTURES = [(1024, 0), (2048, 1)]
 
-    g = jnp.asarray(rng.normal(0, 1, fwd_k.shape).astype(np.float32))
-    g = g.at[:, 5:8].set(0.0)
 
-    def run_k(r, c):
-        return composite_records(r, counts, kx, ky, c)
+def ref_main():
+    """Subprocess mode: compute f64 references on CPU and save them."""
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+    from fourdgs.ops.composite_pallas import _xla_composite_from_records
 
-    def run_x(r, c):
-        return _xla_composite_from_records(r, counts, kx, ky, c)
+    out = {}
+    for p, seed in FIXTURES:
+        fx = build_fixture(p, seed)
+        f64 = lambda x: jnp.asarray(x, jnp.float64)
+        rec, carry, gg = f64(fx["rec"]), f64(fx["carry"]), f64(fx["g"])
+        counts = jnp.asarray(fx["counts"])
+        kx, ky = f64(fx["kx"]), f64(fx["ky"])
 
-    # Build the VJP INSIDE the jit with (rec, carry, g) as arguments:
-    # jitting the returned vjp closure instead would bake the residuals
-    # into the program as constants (hundreds of MB of MLIR — the tunnel's
-    # remote-compile endpoint rejects the payload with HTTP 413).
+        def run(r, c):
+            return _xla_composite_from_records(r, counts, kx, ky, c)
+
+        fwd, pull = jax.vjp(run, rec, carry)
+        d_rec, d_car = pull(gg)
+        key = f"{p}_{seed}"
+        out[f"fwd_{key}"] = np.asarray(fwd)
+        out[f"drec_{key}"] = np.asarray(d_rec)
+        out[f"dcar_{key}"] = np.asarray(d_car)
+    np.savez(REF_PATH, **out)
+    print(f"wrote {REF_PATH}")
+
+
+def _maxdiff(a, b):
+    return float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+
+
+def _relscale(x):
+    return max(1e-3, float(np.max(np.abs(np.asarray(x)))))
+
+
+def check_records(refs, p, seed):
+    """Compiled kernel AND f32 twin vs the f64 reference."""
+    import jax
+    import jax.numpy as jnp
+    from fourdgs.ops.composite_pallas import (composite_records,
+                                              _xla_composite_from_records)
+
+    fx = build_fixture(p, seed)
+    key = f"{p}_{seed}"
+    ref_fwd = refs[f"fwd_{key}"][:, 0:5]
+    ref_drec = refs[f"drec_{key}"]
+    ref_dcar = refs[f"dcar_{key}"][:, 0:5]
+
+    rec = jnp.asarray(fx["rec"])
+    counts = jnp.asarray(fx["counts"])
+    kx, ky = jnp.asarray(fx["kx"]), jnp.asarray(fx["ky"])
+    carry = jnp.asarray(fx["carry"])
+    g = jnp.asarray(fx["g"])
+
     def vjp_of(run):
         def pull(r, c, ct):
             _, f = jax.vjp(run, r, c)
             return f(ct)
         return jax.jit(pull)
 
-    dk = vjp_of(run_k)(rec, carry, g)
-    dx = vjp_of(run_x)(rec, carry, g)
-    d_rec = _maxdiff(dk[0], dx[0]) / _relscale(dx[0])
-    # carry cotangent: compare only rows 0..4 (5..7 are dead padding).
-    d_car = _maxdiff(dk[1][:, 0:5], dx[1][:, 0:5]) / _relscale(dx[1][:, 0:5])
-    return dict(p=p, fwd_maxdiff=d_fwd, bwd_rec_reldiff=d_rec,
-                bwd_carry_reldiff=d_car)
+    res = {"p": p}
+    for name, run in (("pallas", lambda r, c: composite_records(
+                          r, counts, kx, ky, c)),
+                      ("twin", lambda r, c: _xla_composite_from_records(
+                          r, counts, kx, ky, c))):
+        fwd = jax.jit(run)(rec, carry)
+        dk = vjp_of(run)(rec, carry, g)
+        res[f"{name}_fwd_vs_f64"] = _maxdiff(fwd[:, 0:5], ref_fwd)
+        res[f"{name}_drec_vs_f64"] = (_maxdiff(dk[0], ref_drec)
+                                      / _relscale(ref_drec))
+        res[f"{name}_dcar_vs_f64"] = (_maxdiff(dk[1][:, 0:5], ref_dcar)
+                                      / _relscale(ref_dcar))
+    return res
 
 
 def check_pipeline(deepening: bool):
     """Full flagship pipeline: pallas vs xla backend, image + grads."""
+    import jax
+    import jax.numpy as jnp
     from bench import build_cube_scene
     from fourdgs.core.camera import Camera
     from fourdgs.render.pipeline import RenderConfig, render_params4d_packed
@@ -138,33 +180,47 @@ def check_pipeline(deepening: bool):
         lambda p: loss(p, cfg_p), has_aux=True))(params)
     (lx, img_x), gx = jax.jit(jax.value_and_grad(
         lambda p: loss(p, cfg_x), has_aux=True))(params)
+
+    leaves_d = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(_maxdiff, gp, gx))
+    scale = max(_relscale(l) for l in jax.tree_util.tree_leaves(gx))
     return dict(deepening=deepening,
                 img_maxdiff=_maxdiff(img_p, img_x),
-                grad_reldiff=_tree_maxdiff(gp, gx) / _relscale(gx))
+                grad_reldiff=max(leaves_d) / scale)
 
 
 def main() -> int:
+    # f64 references from a clean CPU/x64 subprocess (x64 mode cannot
+    # coexist in-process with the i32-indexed compiled kernel).
+    env = dict(os.environ, JAX_PLATFORMS="cpu", JAX_ENABLE_X64="1")
+    subprocess.run([sys.executable, __file__, "--ref"], check=True, env=env,
+                   cwd=os.path.dirname(os.path.abspath(__file__)))
+    refs = np.load(REF_PATH)
+
+    import jax
     backend = jax.default_backend()
     results = {
         "backend": backend,
         "compiled": backend == "tpu",
-        "records_8x128": check_composite_records(1024),
-        "records_16x128": check_composite_records(2048, seed=1),
+        "records_8x128": check_records(refs, *FIXTURES[0]),
+        "records_16x128": check_records(refs, *FIXTURES[1]),
         "pipeline_single": check_pipeline(False),
         "pipeline_deepening": check_pipeline(True),
     }
-    # Compiled-vs-twin drift at coverage thresholds flips isolated pixels;
-    # the kernel is otherwise bit-faithful math. Tolerances:
-    ok = (results["records_8x128"]["fwd_maxdiff"] < 2e-5
-          and results["records_8x128"]["bwd_rec_reldiff"] < 2e-4
-          and results["records_8x128"]["bwd_carry_reldiff"] < 2e-4
-          and results["records_16x128"]["fwd_maxdiff"] < 2e-5
-          and results["records_16x128"]["bwd_rec_reldiff"] < 2e-4
-          and results["records_16x128"]["bwd_carry_reldiff"] < 2e-4
-          and results["pipeline_single"]["img_maxdiff"] < 5e-2
-          and results["pipeline_single"]["grad_reldiff"] < 5e-3
-          and results["pipeline_deepening"]["img_maxdiff"] < 5e-2
-          and results["pipeline_deepening"]["grad_reldiff"] < 5e-3)
+    ok = True
+    for k in ("records_8x128", "records_16x128"):
+        r = results[k]
+        # The compiled kernel must track the f64 ground truth tightly
+        # (measured ~3e-6 fwd) and never be less faithful than the twin.
+        ok &= r["pallas_fwd_vs_f64"] < 1e-4
+        ok &= r["pallas_drec_vs_f64"] < 1e-3
+        ok &= r["pallas_dcar_vs_f64"] < 1e-3
+        ok &= r["pallas_fwd_vs_f64"] <= r["twin_fwd_vs_f64"] * 2 + 1e-5
+    for k in ("pipeline_single", "pipeline_deepening"):
+        # pallas-vs-xla at pipeline level: coverage-threshold flips move
+        # isolated pixels; grads agree to twin-accuracy.
+        ok &= results[k]["img_maxdiff"] < 5e-2
+        ok &= results[k]["grad_reldiff"] < 5e-3
     results["pass"] = bool(ok)
     with open("KERNELCHECK.json", "w") as f:
         json.dump(results, f, indent=1)
@@ -173,4 +229,7 @@ def main() -> int:
 
 
 if __name__ == "__main__":
+    if "--ref" in sys.argv:
+        ref_main()
+        sys.exit(0)
     sys.exit(main())
