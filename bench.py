@@ -76,6 +76,10 @@ def main() -> int:
     budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
     compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 3968))
     big_budget = int(os.environ.get("FOURDGS_BENCH_BIG_BUDGET", 16))
+    big_keep = int(os.environ.get("FOURDGS_BENCH_BIGKEEP", 128))
+    sort_backend = os.environ.get("FOURDGS_BENCH_SORT", "xla")
+    prune = int(os.environ.get("FOURDGS_BENCH_PRUNE", 0))  # 0=off else cap
+    fraction = float(os.environ.get("FOURDGS_BENCH_FRACTION", 0.34))
 
     import jax
     import jax.numpy as jnp
@@ -99,7 +103,11 @@ def main() -> int:
                            splat_chunk=128, quantized_depth_sort=True,
                            sort_compact_keep_cols=compact,
                            big_splat_budget=big_budget,
-                           deepening_passes=passes, deepening_fraction=0.34)
+                           big_splat_keep_cols=big_keep,
+                           deepening_passes=passes,
+                           deepening_fraction=fraction,
+                           sort_backend=sort_backend,
+                           depth_prune_cap=prune)
     else:
         cfg = RenderConfig(max_splats_per_tile=2048,
                            max_tiles_per_splat=budget,
@@ -135,10 +143,13 @@ def main() -> int:
     }
     # Diagnostics on stderr; the driver consumes the stdout JSON line.
     dropped = int(aux.get("compact_dropped", 0))
+    underkeep = int(aux.get("prune_underkeep", 0))
+    resid = float(aux.get("resid_transmittance", 0.0))
     print(f"# compile {compile_s:.1f}s, best frame {best*1000:.1f}ms, "
           f"{n / best / 1e6:.1f}M splats/s, mean rgb "
           f"{float(jnp.mean(img[..., :3])):.4f}, pair-budget overflow "
-          f"{overflow}, compact dropped {dropped}, live pairs "
+          f"{overflow}, compact dropped {dropped}, prune underkeep "
+          f"{underkeep}, trunc resid {resid:.2e}, live pairs "
           f"{live_pairs:,}, deepest tile "
           f"{max_tile_pairs:,} (composited depth cap {slab * passes:,})",
           file=sys.stderr)

@@ -51,9 +51,28 @@ def timed(fn, *args, reps=5):
     return out, best, compile_s
 
 
-def emit(name, ms, compile_s, note=""):
-    print(json.dumps({"stage": name, "ms": round(ms * 1000, 2),
-                      "compile_s": round(compile_s, 1), "note": note}))
+# Speed-of-light peaks, TPU v5e (public spec): 819 GB/s HBM, 197 bf16
+# TFLOP/s MXU; VPU f32 elementwise ~= 8x128 lanes x 4 ALUs x 0.94 GHz.
+HBM_GBPS = 819.0
+VPU_TFLOPS = 3.85
+MXU_TFLOPS_BF16 = 197.0
+
+
+def emit(name, ms, compile_s, note="", gb=None, gflop=None):
+    """Per-stage record; with a bytes/flops model attached, also reports
+    the roofline time (max of the HBM and VPU bounds) and the fraction of
+    speed-of-light achieved — the 'is 65M splats/s good?' answer
+    (VERDICT round 2, missing #4)."""
+    rec = {"stage": name, "ms": round(ms * 1000, 2),
+           "compile_s": round(compile_s, 1), "note": note}
+    if gb is not None:
+        sol_ms = max(gb / HBM_GBPS, (gflop or 0.0) / VPU_TFLOPS) * 1000.0
+        rec["model_gb"] = round(gb, 3)
+        if gflop:
+            rec["model_gflop"] = round(gflop, 2)
+        rec["sol_ms"] = round(sol_ms, 3)
+        rec["sol_frac"] = round(sol_ms / (ms * 1000.0 + 1e-9), 3)
+    print(json.dumps(rec))
     sys.stdout.flush()
 
 
@@ -105,7 +124,10 @@ def main():
     proj = None
     if "project" in stages or not {"emit", "sort", "gather", "composite"}.isdisjoint(stages):
         proj, best, comp = timed(jp, params, jnp.asarray(0.0), reps=args.reps)
-        emit("project", best, comp)
+        # 20 param components read + ~14 Projected fields written; ~350
+        # flops/splat (cov4 + slice + EWA + eigen).
+        emit("project", best, comp, gb=34 * n * 4 / 1e9,
+             gflop=350 * n / 1e9)
 
     # ---- stage: emit (pair keys, no sort) ----------------------------------
     def f_pairs(pr):
@@ -146,13 +168,18 @@ def main():
     if not {"emit", "sort", "gather", "composite"}.isdisjoint(stages):
         jf = jax.jit(f_pairs)
         (key, sidx, live), best, comp = timed(jf, proj, reps=args.reps)
-        emit("emit", best, comp, note=f"live_pairs={int(live):,} of {key.shape[0]:,}")
+        s_slots = key.shape[0]
+        emit("emit", best, comp,
+             note=f"live_pairs={int(live):,} of {s_slots:,}",
+             gb=(8 * n + 2 * s_slots) * 4 / 1e9, gflop=40 * s_slots / 1e9)
 
     # ---- stage: sort variants ----------------------------------------------
     if "sort" in stages:
         f_sort = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=False))
         (_, _), best, comp = timed(f_sort, key, sidx, reps=args.reps)
-        emit("sort.kv_unstable_i32", best, comp)
+        # SOL for any sort: kv read once + written once.
+        emit("sort.kv_unstable_i32", best, comp,
+             gb=key.shape[0] * 2 * 4 * 2 / 1e9)
 
         f_sort_st = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=True))
         _, best, comp = timed(f_sort_st, key, sidx, reps=args.reps)
@@ -198,7 +225,8 @@ def main():
             return _gather_tile_lists(pr, b, cfg, num_tiles)
         (tile_splat, tile_live), best, comp = timed(jax.jit(f_gather), proj,
                                                     binning, reps=args.reps)
-        emit("gather_tile_lists", best, comp)
+        tm = tile_splat.size
+        emit("gather_tile_lists", best, comp, gb=tm * 4 * 3 / 1e9)
 
         if "composite" in stages:
             from fourdgs.ops.composite_pallas import (composite_records,
@@ -210,7 +238,8 @@ def main():
             rec, best, comp = timed(jax.jit(f_pack), proj, tile_splat,
                                     tile_live, reps=args.reps)
             emit("pack_records", best, comp,
-                 note=f"records {tuple(rec.shape)}")
+                 note=f"records {tuple(rec.shape)}",
+                 gb=(rec.size * 4 + rec.size // 16 * 40) / 1e9)
 
             px, py, _ = T.tile_pixel_ndc(width, height, cfg.tile_h, cfg.tile_w)
             t_tiles = px.shape[0]
@@ -225,8 +254,13 @@ def main():
                                     reps=args.reps)
             mean_cnt = float(jnp.mean(counts))
             max_cnt = int(jnp.max(counts))
+            # ~30 VPU flops per (record, pixel) over the live records
+            # of every tile, 2048-pixel tiles at this config.
+            npix = kx.shape[-1]
             emit("composite_pallas", best, comp,
-                 note=f"counts mean={mean_cnt:.0f} max={max_cnt}")
+                 note=f"counts mean={mean_cnt:.0f} max={max_cnt}",
+                 gb=rec.size * 4 / 1e9,
+                 gflop=float(jnp.sum(counts)) * npix * 30 / 1e9)
 
     # ---- full frame ----------------------------------------------------------
     if "frame" in stages:

@@ -70,6 +70,17 @@ class RenderConfig:
     # hard truncation. passes=1 == plain fixed-capacity behavior.
     deepening_passes: int = 1
     deepening_fraction: float = 0.25  # static budget of tiles per deep pass
+    # Pair-sort backend (quantized + compacted path only): "pallas" stitches
+    # the compaction's sorted rows with the VMEM bitonic merge tree
+    # (ops/sort_pallas.py) instead of the global lax.sort; needs
+    # power-of-two sort_compact_keep_cols.
+    sort_backend: str = "xla"
+    # Per-tile depth pruning (quantized, single-chip): drop pairs deeper
+    # than ~depth_prune_safety x this cap per tile before the sort. Set to
+    # the maximum composited depth (max_splats_per_tile * deepening_passes);
+    # 0 = off. aux["prune_underkeep"] verifies the statistical guarantee.
+    depth_prune_cap: int = 0
+    depth_prune_safety: float = 2.0
 
 
 def _pad_pairs(pair_splat: jax.Array, m: int) -> jax.Array:
@@ -202,7 +213,10 @@ def render_projected(proj: Projected, camera: Camera,
                          compact_keep_cols=(cfg.sort_compact_keep_cols
                                             if use_quant else 0),
                          big_splat_budget=cfg.big_splat_budget,
-                         big_splat_keep_cols=cfg.big_splat_keep_cols)
+                         big_splat_keep_cols=cfg.big_splat_keep_cols,
+                         pallas_sort=(cfg.sort_backend == "pallas"),
+                         depth_prune_cap=cfg.depth_prune_cap,
+                         depth_prune_safety=cfg.depth_prune_safety)
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
@@ -236,6 +250,8 @@ def render_projected(proj: Projected, camera: Camera,
     }
     if binning.compact_dropped is not None:
         aux["compact_dropped"] = binning.compact_dropped
+    if binning.prune_underkeep is not None:
+        aux["prune_underkeep"] = binning.prune_underkeep
     return img, aux
 
 

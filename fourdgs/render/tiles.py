@@ -21,6 +21,7 @@ import dataclasses
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from fourdgs.render.project import Projected
 
@@ -50,6 +51,11 @@ class TileBinning:
     # live pairs lost to the compaction column cap (None when compaction is
     # off); callers surface it via aux — never silently nonzero.
     compact_dropped: jax.Array | None = None
+    # depth pruning's statistical guarantee, verified: tiles that were
+    # pruned (finite cut key) yet ended with fewer pairs than the composite
+    # cap (None when pruning is off); callers surface it — never silently
+    # nonzero.
+    prune_underkeep: jax.Array | None = None
 
 
 QUANT_DEPTH_BITS = 20
@@ -57,7 +63,9 @@ QUANT_DEPTH_BITS = 20
 COMPACT_ROW_LEN = 8192  # batched-VMEM row-sort width for pair compaction
 
 
-def compact_pairs(key: jax.Array, val: jax.Array, dead: int, keep_cols: int):
+def compact_pairs(key: jax.Array, val: jax.Array, dead: int, keep_cols: int,
+                  rows: int | None = None, alternating: bool = False,
+                  flat: bool = True):
     """Shrink a mostly-dead pair array before the global sort.
 
     The pair arrays have a fixed slot budget (max_tiles_per_splat * N) but
@@ -77,17 +85,43 @@ def compact_pairs(key: jax.Array, val: jax.Array, dead: int, keep_cols: int):
     practice (live_frac + ~6 sigma; binomial sigma = sqrt(p(1-p)L) ~ 45).
     """
     s = key.shape[0]
-    rows = -(-s // COMPACT_ROW_LEN)
-    pad = rows * COMPACT_ROW_LEN - s
+    if rows is None:
+        rows = -(-s // COMPACT_ROW_LEN)
+    row_len = -(-s // rows)
+    pad = rows * row_len - s
     if pad:
         key = jnp.concatenate([key, jnp.full((pad,), dead, key.dtype)])
         val = jnp.concatenate([val, jnp.zeros((pad,), val.dtype)])
-    kr = key.reshape(COMPACT_ROW_LEN, rows).T
-    vr = val.reshape(COMPACT_ROW_LEN, rows).T
+    kr = key.reshape(row_len, rows).T
+    vr = val.reshape(row_len, rows).T
     ks, vs = jax.lax.sort((kr, vr), dimension=1, num_keys=1, is_stable=False)
-    dropped = jnp.sum(ks[:, keep_cols:] != dead)
-    return (ks[:, :keep_cols].reshape(-1), vs[:, :keep_cols].reshape(-1),
-            dropped)
+    if keep_cols >= row_len:
+        # Nothing to drop; pad columns up (small scenes where the caller's
+        # keep_cols — e.g. a power of two for the pallas merge — exceeds
+        # the row length).
+        cpad = keep_cols - row_len
+        dropped = jnp.int32(0)
+        ks = jnp.concatenate(
+            [ks, jnp.full((rows, cpad), dead, ks.dtype)], axis=1)
+        vs = jnp.concatenate([vs, jnp.zeros((rows, cpad), vs.dtype)], axis=1)
+    else:
+        dropped = jnp.sum(ks[:, keep_cols:] != dead)
+        ks = ks[:, :keep_cols]
+        vs = vs[:, :keep_cols]
+    if alternating and rows > 1:
+        # Odd rows reversed (descending): the layout the Pallas bitonic
+        # merge tree consumes without any in-kernel reversal. Built by
+        # de-interleave/flip/re-interleave — pure data movement; an
+        # `at[1::2].set` would lower to an XLA scatter (~7.7 ns/element).
+        def alt(x):
+            x3 = x.reshape(rows // 2, 2, keep_cols)
+            return jnp.stack([x3[:, 0], x3[:, 1, ::-1]],
+                             axis=1).reshape(rows, keep_cols)
+        ks = alt(ks)
+        vs = alt(vs)
+    if flat:
+        return ks.reshape(-1), vs.reshape(-1), dropped
+    return ks, vs, dropped
 
 
 def splat_tile_bbox(proj: Projected, p00, p11, width: int, height: int,
@@ -164,7 +198,10 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                quantized_depth: bool = False,
                tile_range=None, compact_keep_cols: int = 0,
                big_splat_budget: int = 0,
-               big_splat_keep_cols: int = 128) -> TileBinning:
+               big_splat_keep_cols: int = 128,
+               pallas_sort: bool = False,
+               depth_prune_cap: int = 0,
+               depth_prune_safety: float = 2.0) -> TileBinning:
     """Build sorted (tile, splat) pairs.
 
     tile_range=(lo, n_local): restrict binning to the local tile window
@@ -252,15 +289,46 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             # span overflow too would double-count it).
             overflowed = (jnp.sum(blive & (span[safe] > big_splat_budget))
                           + big_dropped)
+        prune_cut = None
+        if depth_prune_cap and tile_range is None:
+            # Drop pairs deeper than any slab the compositor will ever
+            # blend (per-tile sample-estimated threshold) BEFORE the sort:
+            # at 10M splats the majority of emitted pairs are beyond the
+            # composite cap and were being sorted/gathered for nothing.
+            from fourdgs.ops.lookup_pallas import apply_cutkeys
+            prune_cut = depth_prune_cutkeys(key, num_tiles, depth_prune_cap,
+                                            safety=depth_prune_safety)
+            key = apply_cutkeys(key, prune_cut)
         compact_dropped = None
-        if compact_keep_cols:
-            key, splat_idx, compact_dropped = compact_pairs(
-                key, splat_idx, dead, compact_keep_cols)
-        # Unstable: ties within a (tile, 20-bit depth) bucket order
-        # arbitrarily — the reference's radix sort breaks exact ties
-        # arbitrarily too. Stability costs ~35% of the sort at 40M pairs.
-        key_s, splat_s = jax.lax.sort((key, splat_idx), num_keys=1,
-                                      is_stable=False)
+        if compact_keep_cols and pallas_sort:
+            # Pallas path: compact into a power-of-two (rows x keep_cols)
+            # grid whose rows merge with zero padding, then stitch the
+            # sorted rows with the VMEM bitonic merge tree — replaces the
+            # global lax.sort (measured 2.6 -> 1.6 ns/element on v5e).
+            from fourdgs.ops.sort_pallas import merge_sorted_rows
+            assert (compact_keep_cols & (compact_keep_cols - 1)) == 0, \
+                f"pallas_sort needs power-of-two keep_cols, got {compact_keep_cols}"
+            s_slots = key.shape[0]
+            # Nearest power-of-two row count at ~COMPACT_ROW_LEN row length:
+            # pow2 rows x pow2 keep_cols merge with zero padding.
+            rows = 1 << max(0, int(round(np.log2(
+                max(1.0, s_slots / COMPACT_ROW_LEN)))))
+            k2, v2, compact_dropped = compact_pairs(
+                key, splat_idx, dead, compact_keep_cols, rows=rows,
+                alternating=True, flat=False)
+            key_s, splat_s = merge_sorted_rows(
+                k2, v2, rows_alternating=True,
+                interpret=jax.default_backend() != "tpu")
+        else:
+            if compact_keep_cols:
+                key, splat_idx, compact_dropped = compact_pairs(
+                    key, splat_idx, dead, compact_keep_cols)
+            # Unstable: ties within a (tile, 20-bit depth) bucket order
+            # arbitrarily — the reference's radix sort breaks exact ties
+            # arbitrarily too. Stability costs ~35% of the sort at 40M
+            # pairs.
+            key_s, splat_s = jax.lax.sort((key, splat_idx), num_keys=1,
+                                          is_stable=False)
         tid_s = jnp.where(key_s == dead, num_tiles,
                           key_s >> QUANT_DEPTH_BITS)
         if tile_range is not None:
@@ -273,6 +341,15 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         # out-of-image tiles get zero counts.
         bounds = jnp.minimum(tile_ids, num_tiles) << QUANT_DEPTH_BITS
         tile_start = searchsorted_i32(key_s, bounds)
+        prune_underkeep = None
+        if prune_cut is not None:
+            # Verify the sample-statistical guarantee: every tile that was
+            # actually pruned must still hold >= the composite cap.
+            counts = tile_start[1:] - tile_start[:-1]
+            t_max = ((jnp.arange(num_tiles, dtype=jnp.int32) + 1)
+                     << QUANT_DEPTH_BITS) - 1
+            prune_underkeep = jnp.sum((prune_cut < t_max)
+                                      & (counts < depth_prune_cap))
     else:
         tid = jnp.concatenate(tids)
         # Two-key sort (tile id, splat index): `proj` is pre-permuted into
@@ -291,9 +368,51 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
 
     if not quantized_depth:
         compact_dropped = None
+        prune_underkeep = None
     return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
                        compact_dropped=compact_dropped,
+                       prune_underkeep=prune_underkeep,
                        tile_start=tile_start, overflowed=overflowed)
+
+
+def depth_prune_cutkeys(key: jax.Array, num_tiles: int, cap: int,
+                        stride: int = 67, safety: float = 2.0) -> jax.Array:
+    """Per-tile depth cut keys for pruning never-composited pairs.
+
+    The compositor only ever blends the nearest `cap` pairs of a tile
+    (slab size x deepening passes); at 10M splats the majority of emitted
+    pairs are deeper than that and are sorted/gathered for nothing. This
+    estimates, per tile, the key of roughly the (cap * safety)-th nearest
+    pair from a strided 1/stride sample of the quantized keys: pairs with
+    key > cut[tile] can be dropped BEFORE the pair sort.
+
+    Statistics: the sample rank r = ceil(cap * safety / stride) has true
+    rank ~ N(stride * r, stride * sqrt(r)); with safety 2 and cap >= 512
+    the kept count per tile is >= cap at > 5 sigma. The default stride is
+    PRIME: the pair array is a concatenation of slot-major blocks whose
+    lengths share large power-of-two factors, and a power-of-two stride
+    resonates with that structure (it samples the same splats in every
+    slot block and fixed columns of the big-tier id matrix — measured 30x
+    oversampling of big-tier pairs in near-camera tiles, under-keeping two
+    tiles at the 10M bench). A prime stride walks every residue class.
+    The comparison is INCLUSIVE (keep key <= cut) so a tie block at the
+    cut key is kept whole — a tile whose pairs share one quantized depth
+    keeps everything.
+    Tiles with fewer sampled pairs than r keep everything (cut = the
+    tile's maximal key). Callers verify the guarantee after binning via
+    `prune_underkeep` (tiles pruned yet left with < cap pairs) in aux.
+
+    Returns (T,) int32 cut keys: keep pair iff key <= cut[key >> 20].
+    """
+    sample = key[::stride]
+    ss = jax.lax.sort(sample, is_stable=False)
+    tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
+    start = searchsorted_i32(ss, tile_ids << QUANT_DEPTH_BITS)   # (T+1,)
+    r = start[:-1] + int(-(-cap * safety // stride))
+    val = ss[jnp.minimum(r, ss.shape[0] - 1)]
+    keep_all = r >= start[1:]          # fewer sampled than the rank
+    tile_max = ((tile_ids[1:]) << QUANT_DEPTH_BITS) - 1
+    return jnp.where(keep_all, tile_max, jnp.minimum(val, tile_max))
 
 
 def searchsorted_i32(sorted_arr: jax.Array, queries: jax.Array) -> jax.Array:

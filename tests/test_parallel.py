@@ -10,6 +10,10 @@ import optax
 import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
+# ~12 min of 8-device CPU compiles: the dominant cost of the full suite.
+# Fast tier: pytest -m 'not slow'; the full suite is the pre-commit gate.
+pytestmark = pytest.mark.slow
+
 from fourdgs.core.camera import Camera
 from fourdgs.parallel import distributed as D
 from fourdgs.parallel.mesh import make_mesh, splat_sharding
