@@ -74,12 +74,16 @@ def main() -> int:
     passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
     tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
     budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
-    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 3968))
+    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 64))
     big_budget = int(os.environ.get("FOURDGS_BENCH_BIG_BUDGET", 16))
     big_keep = int(os.environ.get("FOURDGS_BENCH_BIGKEEP", 128))
     sort_backend = os.environ.get("FOURDGS_BENCH_SORT", "xla")
-    prune = int(os.environ.get("FOURDGS_BENCH_PRUNE", 0))  # 0=off else cap
+    compact_backend = os.environ.get("FOURDGS_BENCH_COMPACT_BACKEND", "pallas")
+    row_len = int(os.environ.get("FOURDGS_BENCH_ROWLEN", 512))
+    prune = int(os.environ.get("FOURDGS_BENCH_PRUNE", 3072))  # 0=off else cap
     fraction = float(os.environ.get("FOURDGS_BENCH_FRACTION", 0.34))
+    schedule = tuple(int(x) for x in os.environ.get(
+        "FOURDGS_BENCH_SCHEDULE", "2560").split(",") if x)
 
     import jax
     import jax.numpy as jnp
@@ -104,9 +108,13 @@ def main() -> int:
                            sort_compact_keep_cols=compact,
                            big_splat_budget=big_budget,
                            big_splat_keep_cols=big_keep,
-                           deepening_passes=passes,
+                           deepening_passes=(len(schedule) + 1 if schedule
+                                             else passes),
                            deepening_fraction=fraction,
+                           deepening_schedule=schedule,
                            sort_backend=sort_backend,
+                           compact_backend=compact_backend,
+                           compact_row_len=row_len,
                            depth_prune_cap=prune)
     else:
         cfg = RenderConfig(max_splats_per_tile=2048,

@@ -55,16 +55,23 @@ def main() -> int:
     slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 512))
     passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
     budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
-    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 3968))
+    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 64))
     big_budget = int(os.environ.get("FOURDGS_BENCH_BIG_BUDGET", 16))
+    # Mirrors the shipped bench.py round-3 configuration: depth pruning,
+    # pallas rowsort compaction at short rows, one big deepening slab.
     cfg = RenderConfig(tile_h=tile_h if on_tpu else 8, tile_w=128,
                        backend=backend,
                        max_splats_per_tile=slab, max_tiles_per_splat=budget,
                        splat_chunk=128, quantized_depth_sort=on_tpu,
                        sort_compact_keep_cols=compact if on_tpu else 0,
                        big_splat_budget=big_budget if on_tpu else 0,
-                       deepening_passes=passes if backend == "pallas" else 1,
-                       deepening_fraction=0.34)
+                       deepening_passes=(2 if backend == "pallas" else 1),
+                       deepening_fraction=0.34,
+                       deepening_schedule=((2560,) if backend == "pallas"
+                                           else ()),
+                       compact_backend="pallas" if on_tpu else "xla",
+                       compact_row_len=512,
+                       depth_prune_cap=3072 if on_tpu else 0)
 
     # --- forward scaling over scene size -------------------------------
     for n in sizes:

@@ -66,7 +66,8 @@ def emit(name, ms, compile_s, note="", gb=None, gflop=None):
     rec = {"stage": name, "ms": round(ms * 1000, 2),
            "compile_s": round(compile_s, 1), "note": note}
     if gb is not None:
-        sol_ms = max(gb / HBM_GBPS, (gflop or 0.0) / VPU_TFLOPS) * 1000.0
+        sol_ms = max(gb / HBM_GBPS,
+                     (gflop or 0.0) / (VPU_TFLOPS * 1000.0)) * 1000.0
         rec["model_gb"] = round(gb, 3)
         if gflop:
             rec["model_gflop"] = round(gflop, 2)
@@ -104,10 +105,13 @@ def main():
     camera = Camera.create(position=(420.0, 300.0, 420.0),
                            orientation=(-1.0, -0.7, -1.0),
                            far=5000.0, width=width, height=height)
-    cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
-                       max_splats_per_tile=2048, max_tiles_per_splat=4,
+    # The shipped bench configuration (bench.py round 3).
+    cfg = RenderConfig(tile_h=16, tile_w=128, backend="pallas",
+                       max_splats_per_tile=512, max_tiles_per_splat=4,
                        splat_chunk=128, quantized_depth_sort=True,
-                       deepening_passes=3, deepening_fraction=0.25)
+                       sort_compact_keep_cols=512, big_splat_budget=16,
+                       deepening_passes=6, deepening_fraction=0.34,
+                       depth_prune_cap=3072)
 
     pmat = camera.proj_matrix()
     p00, p11 = pmat[0, 0], pmat[1, 1]
@@ -173,8 +177,38 @@ def main():
              note=f"live_pairs={int(live):,} of {s_slots:,}",
              gb=(8 * n + 2 * s_slots) * 4 / 1e9, gflop=40 * s_slots / 1e9)
 
-    # ---- stage: sort variants ----------------------------------------------
+    # ---- stage: prune + rowsort-compaction ---------------------------------
     if "sort" in stages:
+        ny0, nx0 = T.tile_grid(width, height, cfg.tile_h, cfg.tile_w)
+
+        def f_prune(k):
+            from fourdgs.ops.lookup_pallas import apply_cutkeys
+            cut = T.depth_prune_cutkeys(k, ny0 * nx0, cfg.depth_prune_cap)
+            return apply_cutkeys(k, cut)
+        key_pruned, best, comp = timed(jax.jit(f_prune), key, reps=args.reps)
+        emit("prune", best, comp,
+             note=f"live after prune "
+                  f"{int(jnp.sum(key_pruned != jnp.iinfo(jnp.int32).max)):,}",
+             gb=key.shape[0] * 4 * 2 / 1e9,
+             gflop=key.shape[0] * 50 / 1e9)
+
+        def f_rowsort(k, v):
+            return T.compact_pairs(k, v, jnp.iinfo(jnp.int32).max,
+                                   cfg.sort_compact_keep_cols)
+        (ck, cv, dropped), best, comp = timed(jax.jit(f_rowsort), key_pruned,
+                                              sidx, reps=args.reps)
+        emit("rowsort_compact", best, comp,
+             note=f"-> {ck.shape[0]:,} slots, dropped {int(dropped)}",
+             gb=key.shape[0] * 2 * 4 * 2 / 1e9)
+
+        f_gsort = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1,
+                                                    is_stable=False))
+        _, best, comp = timed(f_gsort, ck, cv, reps=args.reps)
+        emit("sort.global_compacted", best, comp,
+             gb=ck.shape[0] * 2 * 4 * 2 / 1e9)
+
+    # ---- stage: sort variants ----------------------------------------------
+    if "sortvariants" in stages:
         f_sort = jax.jit(lambda k, v: jax.lax.sort((k, v), num_keys=1, is_stable=False))
         (_, _), best, comp = timed(f_sort, key, sidx, reps=args.reps)
         # SOL for any sort: kv read once + written once.

@@ -296,6 +296,99 @@ def _finish_level(k2d, v2d, blk_rows: int, run_out_rows: int,
     return out[0], out[1]
 
 
+def _rowsort_kernel(k_ref, v_ref, ok_ref, ov_ref, *, row_len: int,
+                    keep: int, cols: int, alternating: bool):
+    """Full bitonic sort of `cols` independent logical rows, each laid out
+    along the SUBLANE axis of a (row_len, cols) block (the strided
+    column-major view of the flat pair array — no transpose needed, unlike
+    the XLA `lax.sort(dimension=1)` formulation). Every compare-exchange
+    stride is a sublane roll. Writes only the first `keep` positions of
+    each sorted row (the compaction fused in)."""
+    k = k_ref[...]
+    v = v_ref[...]
+    s = row_len
+    iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, cols), 0)
+    if alternating:
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1) \
+            + pl.program_id(0) * cols
+        lane_desc = (lane % 2) == 1
+    size = 2
+    while size <= s:
+        d = size // 2
+        while d >= 1:
+            kd = pltpu.roll(k, s - d, 0)
+            vd = pltpu.roll(v, s - d, 0)
+            ku = pltpu.roll(k, d, 0)
+            vu = pltpu.roll(v, d, 0)
+            is_low = (iota_s // d) % 2 == 0
+            desc = ((iota_s // size) % 2) == 1
+            if alternating:
+                desc = desc ^ lane_desc
+            sel = ((is_low & (kd < k)) | (~is_low & (k < ku))) ^ desc
+            pk = jnp.where(is_low, kd, ku)
+            pv = jnp.where(is_low, vd, vu)
+            k = jnp.where(sel, pk, k)
+            v = jnp.where(sel, pv, v)
+            d //= 2
+        size *= 2
+    if alternating:
+        # A descending row's live prefix sits at the TAIL; keep that end
+        # (the reversed image of the ascending keep).
+        ok_ref[...] = jnp.where(lane_desc, k[s - keep:], k[:keep])
+        ov_ref[...] = jnp.where(lane_desc, v[s - keep:], v[:keep])
+    else:
+        ok_ref[...] = k[:keep]
+        ov_ref[...] = v[:keep]
+
+
+ROWSORT_COLS = 128          # logical rows (lanes) per grid step
+
+
+def rowsort_compact(key: jax.Array, val: jax.Array, keep_cols: int,
+                    row_len: int = 8192, alternating: bool = False,
+                    interpret: bool | None = None):
+    """Pallas replacement for the XLA rowsort+keep of `compact_pairs`:
+    sort `rows = ceil(S/row_len)` strided logical rows of the flat (S,) kv
+    and keep each row's first keep_cols. Returns ((keep, rows) key,
+    (keep, rows) val, dropped) — note the TRANSPOSED layout (logical rows
+    on lanes); callers flatten in any order for a subsequent global sort,
+    or transpose for the merge tree. row_len must be a power of two.
+
+    alternating: row r (lane index) sorted descending for odd r.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert row_len & (row_len - 1) == 0
+    s = key.shape[0]
+    rows = -(-s // row_len)
+    rows = -(-rows // ROWSORT_COLS) * ROWSORT_COLS
+    pad = rows * row_len - s
+    if pad:
+        key = jnp.concatenate([key, jnp.full((pad,), DEAD, key.dtype)])
+        val = jnp.concatenate([val, jnp.zeros((pad,), val.dtype)])
+    k2 = key.reshape(row_len, rows)
+    v2 = val.reshape(row_len, rows)
+    kern = functools.partial(_rowsort_kernel, row_len=row_len,
+                             keep=keep_cols, cols=ROWSORT_COLS,
+                             alternating=alternating)
+    in_spec = pl.BlockSpec((row_len, ROWSORT_COLS), lambda i: (0, i))
+    out_spec = pl.BlockSpec((keep_cols, ROWSORT_COLS), lambda i: (0, i))
+    ok, ov = pl.pallas_call(
+        kern,
+        grid=(rows // ROWSORT_COLS,),
+        in_specs=[in_spec, in_spec],
+        out_specs=[out_spec, out_spec],
+        out_shape=[jax.ShapeDtypeStruct((keep_cols, rows), jnp.int32)] * 2,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(k2, v2)
+    # Live pairs lost to the keep cap, never silent: total live minus kept
+    # live (two cheap reductions).
+    dropped = (jnp.sum((key != DEAD).astype(jnp.int32))
+               - jnp.sum((ok != DEAD).astype(jnp.int32)))
+    return ok, ov, dropped
+
+
 def _pad_rows(x, rows: int, fill):
     r, c = x.shape
     if r == rows:

@@ -70,11 +70,23 @@ class RenderConfig:
     # hard truncation. passes=1 == plain fixed-capacity behavior.
     deepening_passes: int = 1
     deepening_fraction: float = 0.25  # static budget of tiles per deep pass
+    # Optional static per-pass slab sizes for the deepening passes
+    # (len == deepening_passes - 1). One big second slab instead of many
+    # uniform ones pays the per-pass selection/gather/scatter overhead once
+    # (the 10M bench: 5 x 512 re-gathers -> 1 x 2560). () = uniform slabs.
+    deepening_schedule: Tuple[int, ...] = ()
     # Pair-sort backend (quantized + compacted path only): "pallas" stitches
     # the compaction's sorted rows with the VMEM bitonic merge tree
     # (ops/sort_pallas.py) instead of the global lax.sort; needs
     # power-of-two sort_compact_keep_cols.
     sort_backend: str = "xla"
+    # Compaction backend for the xla sort_backend: "pallas" = the fused
+    # sublane rowsort+keep kernel (ops/sort_pallas.rowsort_compact).
+    compact_backend: str = "xla"
+    # Logical row length of the pallas rowsort (power of two). Shorter rows
+    # sort in fewer bitonic stages (cost ~ log^2(row_len)); keep_cols must
+    # then cover the per-row live count (which shrinks proportionally).
+    compact_row_len: int = 8192
     # Per-tile depth pruning (quantized, single-chip): drop pairs deeper
     # than ~depth_prune_safety x this cap per tile before the sort. Set to
     # the maximum composited depth (max_splats_per_tile * deepening_passes);
@@ -215,6 +227,8 @@ def render_projected(proj: Projected, camera: Camera,
                          big_splat_budget=cfg.big_splat_budget,
                          big_splat_keep_cols=cfg.big_splat_keep_cols,
                          pallas_sort=(cfg.sort_backend == "pallas"),
+                         pallas_compact=(cfg.compact_backend == "pallas"),
+                         compact_row_len=cfg.compact_row_len,
                          depth_prune_cap=cfg.depth_prune_cap,
                          depth_prune_safety=cfg.depth_prune_safety)
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
@@ -289,12 +303,20 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     rec0 = pack_records(proj, rows0, live0, p00, p11)
     out = composite_records(rec0, jnp.minimum(counts_full, m).astype(jnp.int32),
                             kx, ky, identity_carry(t_tiles, dtype, p))
-    slab_done = jnp.ones((t_tiles,), jnp.int32)
+    pairs_done = jnp.minimum(counts_full, m)
 
     t_cap = max(128, int(round(t_tiles * cfg.deepening_fraction)))
     t_cap = min(t_cap, t_tiles)
-    for _ in range(1, cfg.deepening_passes):
-        remaining = counts_full - slab_done * m
+    schedule = cfg.deepening_schedule or (m,) * (cfg.deepening_passes - 1)
+    assert len(schedule) == cfg.deepening_passes - 1, \
+        (cfg.deepening_schedule, cfg.deepening_passes)
+    assert all(mi % 128 == 0 for mi in schedule), schedule  # kernel CHUNK
+    # Pad the slab pair array so the largest scheduled slab slices in-range.
+    if schedule and max(schedule) > m:
+        pair_pad = _pad_pairs(binning.pair_splat, max(schedule))
+    for mi in schedule:
+        arange_mi = jnp.arange(mi, dtype=jnp.int32)
+        remaining = counts_full - pairs_done
         unsat = jnp.max(out[:, 4, :], axis=1) > 1e-6
         active = unsat & (remaining > 0)
         # Deterministic top-t_cap active tiles (inactive fillers are no-ops:
@@ -302,23 +324,23 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
         order = jnp.argsort(-active.astype(jnp.int32), stable=True)
         sel = order[:t_cap]
         act = active[sel]
-        base = starts[sel] + slab_done[sel] * m
-        rows = _gather_pair_rows(pair_pad, base, m)
-        off = slab_done[sel][:, None] * m + arange_m[None, :]
+        base = starts[sel] + pairs_done[sel]
+        rows = _gather_pair_rows(pair_pad, base, mi)
+        off = pairs_done[sel][:, None] + arange_mi[None, :]
         live = act[:, None] & (off < counts_full[sel][:, None])
         rec = pack_records(proj, rows, live, p00, p11)
         cnt = jnp.where(act,
-                        jnp.clip(counts_full[sel] - slab_done[sel] * m, 0, m),
+                        jnp.clip(counts_full[sel] - pairs_done[sel], 0, mi),
                         0).astype(jnp.int32)
         out_s = composite_records(rec, cnt, kx[sel], ky[sel], out[sel])
         out = out.at[sel].set(out_s)
-        slab_done = slab_done.at[sel].add(act.astype(jnp.int32))
+        pairs_done = pairs_done.at[sel].add(jnp.where(act, cnt, 0))
 
     rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
     a = out[:, 3, :] + out[:, 4, :] * background[3]
     tiles = jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
     if return_resid:
-        truncated = (counts_full - slab_done * m) > 0
+        truncated = (counts_full - pairs_done) > 0
         return tiles, out[:, 4, :] * truncated[:, None]
     return tiles
 

@@ -200,6 +200,8 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                big_splat_budget: int = 0,
                big_splat_keep_cols: int = 128,
                pallas_sort: bool = False,
+               pallas_compact: bool = False,
+               compact_row_len: int = 8192,
                depth_prune_cap: int = 0,
                depth_prune_safety: float = 2.0) -> TileBinning:
     """Build sorted (tile, splat) pairs.
@@ -320,7 +322,19 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                 k2, v2, rows_alternating=True,
                 interpret=jax.default_backend() != "tpu")
         else:
-            if compact_keep_cols:
+            if compact_keep_cols and pallas_compact:
+                # Pallas rowsort+keep (ops/sort_pallas.rowsort_compact):
+                # sorts the strided logical rows along sublanes in VMEM —
+                # no transpose, compaction fused into the output slice
+                # (measured 26 ms vs the XLA formulation's 32 ms at 40.9M
+                # slots). Output order across rows is irrelevant: the
+                # global sort below re-orders everything.
+                from fourdgs.ops.sort_pallas import rowsort_compact
+                ck, cv, compact_dropped = rowsort_compact(
+                    key, splat_idx, compact_keep_cols,
+                    row_len=compact_row_len)
+                key, splat_idx = ck.reshape(-1), cv.reshape(-1)
+            elif compact_keep_cols:
                 key, splat_idx, compact_dropped = compact_pairs(
                     key, splat_idx, dead, compact_keep_cols)
             # Unstable: ties within a (tile, 20-bit depth) bucket order

@@ -59,12 +59,18 @@ def test_bench_stack_matches_dense():
 
     params = _cube_scene()
     camera = _camera()
+    # Mirrors the SHIPPED bench.py stack: quantized sort, two-tier
+    # emission, depth pruning, pallas rowsort compaction, one big
+    # deepening slab (scaled to the test scene).
     cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
                        max_splats_per_tile=512, max_tiles_per_splat=4,
                        splat_chunk=128, quantized_depth_sort=True,
-                       sort_compact_keep_cols=4096,
+                       sort_compact_keep_cols=256, compact_backend="pallas",
+                       compact_row_len=512,
                        big_splat_budget=16, big_splat_keep_cols=128,
-                       deepening_passes=4, deepening_fraction=1.0)
+                       deepening_passes=2, deepening_fraction=1.0,
+                       deepening_schedule=(1536,),
+                       depth_prune_cap=2048)
     img, aux = render_params4d_packed(params, camera, 0.0, cfg=cfg,
                                       return_aux=True)
     assert int(aux["overflowed"]) == 0
