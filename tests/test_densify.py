@@ -104,6 +104,7 @@ def test_pad_params_and_alive_count():
     assert bool(jnp.all(jnp.isfinite(sp.cov)))
 
 
+@pytest.mark.slow
 def test_densify_integration_fit():
     """Fit a sparse scene to a 2-blob target; densify fills pruned slots and
     the loop keeps improving (end-to-end smoke, small)."""

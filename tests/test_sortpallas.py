@@ -91,6 +91,7 @@ def _scene(n=4000):
     return params, camera
 
 
+@pytest.mark.slow
 def test_pipeline_pallas_sort_matches_xla_sort():
     params, camera = _scene()
     img_x, aux_x = _render(params, camera, _bench_like_cfgs("xla", keep=4096))
@@ -107,6 +108,7 @@ def test_pipeline_pallas_sort_matches_xla_sort():
                                atol=1e-3)
 
 
+@pytest.mark.slow
 def test_pipeline_depth_prune_keeps_image():
     params, camera = _scene(n=8000)
     cap = 256 * 3

@@ -49,6 +49,7 @@ class TestLosses:
         assert np.isfinite(np.asarray(g)).all()
 
 
+@pytest.mark.slow
 class TestFit:
     def test_recovers_shift(self):
         params = make_params(jax.random.PRNGKey(3))
@@ -75,6 +76,7 @@ class TestFit:
         assert res.losses[-1] < res.losses[1] * 0.7
 
 
+@pytest.mark.slow
 class TestFitWithDensify:
     def test_densify_improves_fit(self):
         """End-to-end adaptive density control inside trainer.fit: starting
@@ -144,6 +146,7 @@ class TestCheckpoint:
                                            np.asarray(params[k]), atol=1e-6)
 
 
+@pytest.mark.slow
 class TestMetricsLogger:
     def test_jsonl_output(self):
         import json
