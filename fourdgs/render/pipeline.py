@@ -218,34 +218,37 @@ def render_projected(proj: Projected, camera: Camera,
     if not use_quant:
         order = front_to_back_order(proj.depth)
         proj = jax.tree_util.tree_map(lambda a: a[order], proj)
-    binning = bin_splats(proj, p00, p11, w, h,
-                         tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                         max_tiles_per_splat=cfg.max_tiles_per_splat,
-                         quantized_depth=use_quant,
-                         compact_keep_cols=(cfg.sort_compact_keep_cols
-                                            if use_quant else 0),
-                         big_splat_budget=cfg.big_splat_budget,
-                         big_splat_keep_cols=cfg.big_splat_keep_cols,
-                         pallas_sort=(cfg.sort_backend == "pallas"),
-                         pallas_compact=(cfg.compact_backend == "pallas"),
-                         compact_row_len=cfg.compact_row_len,
-                         depth_prune_cap=cfg.depth_prune_cap,
-                         depth_prune_safety=cfg.depth_prune_safety)
+    # named_scope markers segment jax.profiler traces by pipeline stage.
+    with jax.named_scope("bin_sort"):
+        binning = bin_splats(proj, p00, p11, w, h,
+                             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                             max_tiles_per_splat=cfg.max_tiles_per_splat,
+                             quantized_depth=use_quant,
+                             compact_keep_cols=(cfg.sort_compact_keep_cols
+                                                if use_quant else 0),
+                             big_splat_budget=cfg.big_splat_budget,
+                             big_splat_keep_cols=cfg.big_splat_keep_cols,
+                             pallas_sort=(cfg.sort_backend == "pallas"),
+                             pallas_compact=(cfg.compact_backend == "pallas"),
+                             compact_row_len=cfg.compact_row_len,
+                             depth_prune_cap=cfg.depth_prune_cap,
+                             depth_prune_safety=cfg.depth_prune_safety)
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
     counts = binning.tile_start[1:] - binning.tile_start[:-1]
-    if cfg.backend == "pallas":
-        tiles, resid = _composite_pallas_progressive(
-            proj, binning, px, py, p00, p11, bg, cfg, return_resid=True)
-    else:
-        ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
-        tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg,
-                                                   ny * nx)
-        tiles, t_fin = _composite_tiles_xla(proj, tile_splat, tile_live, px,
-                                            py, p00, p11, bg, cfg.splat_chunk,
-                                            return_resid=True)
-        resid = t_fin * (counts > cfg.max_splats_per_tile)[:, None]
+    with jax.named_scope("composite"):
+        if cfg.backend == "pallas":
+            tiles, resid = _composite_pallas_progressive(
+                proj, binning, px, py, p00, p11, bg, cfg, return_resid=True)
+        else:
+            ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
+            tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg,
+                                                       ny * nx)
+            tiles, t_fin = _composite_tiles_xla(
+                proj, tile_splat, tile_live, px, py, p00, p11, bg,
+                cfg.splat_chunk, return_resid=True)
+            resid = t_fin * (counts > cfg.max_splats_per_tile)[:, None]
     img = assemble_image(tiles, w, h, cfg.tile_h, cfg.tile_w)
     if not return_aux:
         return img
@@ -298,11 +301,13 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     ky = (py / p11).reshape(t_tiles, 1, p)
     arange_m = jnp.arange(m, dtype=jnp.int32)
 
-    rows0 = _gather_pair_rows(pair_pad, starts, m)
-    live0 = arange_m[None, :] < counts_full[:, None]
-    rec0 = pack_records(proj, rows0, live0, p00, p11)
-    out = composite_records(rec0, jnp.minimum(counts_full, m).astype(jnp.int32),
-                            kx, ky, identity_carry(t_tiles, dtype, p))
+    with jax.named_scope("pass1"):
+        rows0 = _gather_pair_rows(pair_pad, starts, m)
+        live0 = arange_m[None, :] < counts_full[:, None]
+        rec0 = pack_records(proj, rows0, live0, p00, p11)
+        out = composite_records(rec0,
+                                jnp.minimum(counts_full, m).astype(jnp.int32),
+                                kx, ky, identity_carry(t_tiles, dtype, p))
     pairs_done = jnp.minimum(counts_full, m)
 
     t_cap = max(128, int(round(t_tiles * cfg.deepening_fraction)))
@@ -315,6 +320,7 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     if schedule and max(schedule) > m:
         pair_pad = _pad_pairs(binning.pair_splat, max(schedule))
     for mi in schedule:
+      with jax.named_scope(f"deepen_{mi}"):
         arange_mi = jnp.arange(mi, dtype=jnp.int32)
         remaining = counts_full - pairs_done
         unsat = jnp.max(out[:, 4, :], axis=1) > 1e-6

@@ -298,9 +298,11 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             # at 10M splats the majority of emitted pairs are beyond the
             # composite cap and were being sorted/gathered for nothing.
             from fourdgs.ops.lookup_pallas import apply_cutkeys
-            prune_cut = depth_prune_cutkeys(key, num_tiles, depth_prune_cap,
-                                            safety=depth_prune_safety)
-            key = apply_cutkeys(key, prune_cut)
+            with jax.named_scope("depth_prune"):
+                prune_cut = depth_prune_cutkeys(key, num_tiles,
+                                                depth_prune_cap,
+                                                safety=depth_prune_safety)
+                key = apply_cutkeys(key, prune_cut)
         compact_dropped = None
         if compact_keep_cols and pallas_sort:
             # Pallas path: compact into a power-of-two (rows x keep_cols)
@@ -330,10 +332,11 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                 # slots). Output order across rows is irrelevant: the
                 # global sort below re-orders everything.
                 from fourdgs.ops.sort_pallas import rowsort_compact
-                ck, cv, compact_dropped = rowsort_compact(
-                    key, splat_idx, compact_keep_cols,
-                    row_len=compact_row_len)
-                key, splat_idx = ck.reshape(-1), cv.reshape(-1)
+                with jax.named_scope("rowsort_compact"):
+                    ck, cv, compact_dropped = rowsort_compact(
+                        key, splat_idx, compact_keep_cols,
+                        row_len=compact_row_len)
+                    key, splat_idx = ck.reshape(-1), cv.reshape(-1)
             elif compact_keep_cols:
                 key, splat_idx, compact_dropped = compact_pairs(
                     key, splat_idx, dead, compact_keep_cols)
@@ -341,8 +344,9 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             # arbitrarily — the reference's radix sort breaks exact ties
             # arbitrarily too. Stability costs ~35% of the sort at 40M
             # pairs.
-            key_s, splat_s = jax.lax.sort((key, splat_idx), num_keys=1,
-                                          is_stable=False)
+            with jax.named_scope("global_sort"):
+                key_s, splat_s = jax.lax.sort((key, splat_idx), num_keys=1,
+                                              is_stable=False)
         tid_s = jnp.where(key_s == dead, num_tiles,
                           key_s >> QUANT_DEPTH_BITS)
         if tile_range is not None:
@@ -418,7 +422,27 @@ def depth_prune_cutkeys(key: jax.Array, num_tiles: int, cap: int,
 
     Returns (T,) int32 cut keys: keep pair iff key <= cut[key >> 20].
     """
-    sample = key[::stride]
+    # Sample by CONTIGUOUS 128-wide blocks spread evenly over the array —
+    # a strided slice key[::stride] lowers to an XLA gather (traced at
+    # 8 ms for 610K elements of a 40.9M array), while vmapped
+    # dynamic-slice rows are contiguous reads (~free). A block's 128
+    # consecutive slots are consecutive splat ids within one emission
+    # slot — independent draws for i.i.d. scenes; for spatially-sorted
+    # splat lists the many spread-out blocks average localities, and
+    # `prune_underkeep` verifies the outcome either way.
+    blk = 1024
+    if key.shape[0] < stride * blk * 64:
+        # Small arrays: the strided gather is cheap and mixes better than
+        # a handful of blocks would.
+        sample = key[::stride]
+    else:
+        nblocks = key.shape[0] // (stride * blk)
+        span = max(1, (key.shape[0] - blk) // max(1, nblocks - 1))
+        starts = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * span,
+                             key.shape[0] - blk)
+        sample = jax.vmap(
+            lambda s: jax.lax.dynamic_slice_in_dim(key, s, blk))(starts)
+        sample = sample.reshape(-1)
     ss = jax.lax.sort(sample, is_stable=False)
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     start = searchsorted_i32(ss, tile_ids << QUANT_DEPTH_BITS)   # (T+1,)
