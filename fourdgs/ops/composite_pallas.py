@@ -514,6 +514,102 @@ def _composite_bwd(res, g):
 composite_records.defvjp(_composite_fwd, _composite_bwd)
 
 
+def _composite_pallas_at_raw(records_sel, counts_sel, sel, kx_full, ky_full,
+                             carry_full):
+    """Composite `records_sel[i]` into carry block `sel[i]` IN PLACE.
+
+    The deepening passes previously moved the (T, 8, P) carry through XLA
+    gather (`out[sel]`) and scatter (`out.at[sel].set`) — ~5.7M elements
+    each way per pass at the 10M bench. Here the pallas grid itself
+    addresses the selected tiles: scalar-prefetched `sel` drives the
+    carry/pixel block index maps, the output aliases the carry buffer, and
+    unvisited blocks keep their data (donation semantics). `sel` entries
+    must be distinct; inactive fillers (counts 0) write the carry back
+    unchanged."""
+    ts, f, m = records_sel.shape
+    t_tiles = carry_full.shape[0]
+    p = kx_full.shape[-1]
+    assert f == _F and m % CHUNK == 0 and p % 128 == 0
+    dtype = records_sel.dtype
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,              # counts_sel, sel
+        grid=(ts,),
+        in_specs=[
+            pl.BlockSpec((1, _F, m), lambda t, c, s: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, c, s: (s[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, p), lambda t, c, s: (s[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, p), lambda t, c, s: (s[t], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 8, p), lambda t, c, s: (s[t], 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    def kernel(counts_ref, sel_ref, rec_ref, kx_ref, ky_ref, carry_ref,
+               out_ref):
+        _composite_kernel(counts_ref, rec_ref.at[0], kx_ref.at[0],
+                          ky_ref.at[0], carry_ref.at[0], out_ref.at[0])
+
+    interpret = jax.default_backend() != "tpu"
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t_tiles, 8, p), dtype),
+        # operand order: (counts_sel, sel, records, kx, ky, carry) — the
+        # carry (index 5, counting the scalar-prefetch operands) aliases
+        # the output so unvisited tiles pass through untouched.
+        input_output_aliases={5: 0},
+        interpret=interpret,
+    )(counts_sel, sel, records_sel, kx_full, ky_full, carry_full)
+
+
+@jax.custom_vjp
+def composite_records_at(records_sel, counts_sel, sel, kx_full, ky_full,
+                         carry_full):
+    """Scatter-free deepening step: composite the selected tiles' records
+    into their carry blocks, returning the full updated (T, 8, P) carry."""
+    return _composite_pallas_at_raw(records_sel, counts_sel, sel, kx_full,
+                                    ky_full, carry_full)
+
+
+def _composite_at_fwd(records_sel, counts_sel, sel, kx_full, ky_full,
+                      carry_full):
+    # Residuals gather the selected blocks (only paid under
+    # differentiation; the primal path stays gather/scatter-free).
+    carry_sel = carry_full[sel]
+    out_full = _composite_pallas_at_raw(records_sel, counts_sel, sel,
+                                        kx_full, ky_full, carry_full)
+    return out_full, (records_sel, counts_sel, sel, kx_full, ky_full,
+                      carry_sel, out_full[sel])
+
+
+def _composite_at_bwd(res, g_full):
+    records_sel, counts_sel, sel, kx_full, ky_full, carry_sel, out_sel = res
+    g_sel = g_full[sel]
+    d_records = _composite_bwd_pallas(records_sel, counts_sel,
+                                      kx_full[sel], ky_full[sel],
+                                      carry_sel, out_sel, g_sel)
+    trans_in = carry_sel[:, 4:5, :]
+    num = (jnp.sum(g_sel[:, 0:4, :]
+                   * (out_sel[:, 0:4, :] - carry_sel[:, 0:4, :]),
+                   axis=1, keepdims=True)
+           + g_sel[:, 4:5, :] * out_sel[:, 4:5, :])
+    d_trans = jnp.where(trans_in > 0.0,
+                        num / jnp.maximum(trans_in, 1e-30), 0.0)
+    d_carry_sel = jnp.concatenate(
+        [g_sel[:, 0:4, :], d_trans, jnp.zeros_like(g_sel[:, 5:8, :])],
+        axis=1)
+    # Unselected tiles pass the carry through identically: d_carry = g.
+    d_carry_full = g_full.at[sel].set(d_carry_sel)
+    return d_records, None, None, None, None, d_carry_full
+
+
+composite_records_at.defvjp(_composite_at_fwd, _composite_at_bwd)
+
+
 def composite_tiles_pallas(proj, tile_splat, tile_live, px, py, p00, p11,
                            background, cfg) -> jax.Array:
     """Drop-in replacement for the XLA tiled compositor: returns (T, P, 4)."""

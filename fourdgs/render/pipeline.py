@@ -290,6 +290,7 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     traffic adapts to each tile's true depth complexity.
     """
     from fourdgs.ops.composite_pallas import (composite_records,
+                                              composite_records_at,
                                               identity_carry, pack_records)
     m = cfg.max_splats_per_tile
     dtype = px.dtype
@@ -338,8 +339,10 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
         cnt = jnp.where(act,
                         jnp.clip(counts_full[sel] - pairs_done[sel], 0, mi),
                         0).astype(jnp.int32)
-        out_s = composite_records(rec, cnt, kx[sel], ky[sel], out[sel])
-        out = out.at[sel].set(out_s)
+        # Scatter-free carry update: the pallas grid addresses the selected
+        # carry/pixel blocks directly (sel is a permutation prefix, entries
+        # distinct; fillers have cnt 0 and write the carry back unchanged).
+        out = composite_records_at(rec, cnt, sel, kx, ky, out)
         pairs_done = pairs_done.at[sel].add(jnp.where(act, cnt, 0))
 
     rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
