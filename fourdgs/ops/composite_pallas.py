@@ -81,16 +81,17 @@ def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
     """Gather per-tile splat records into the kernel layout (T, F, M);
     tile_live additionally zeroes a_eff for dead list entries."""
     dtype = proj.mx.dtype
-    n = proj.count
     rec = record_fields(proj, p00, p11)
-    rec = jnp.concatenate(
-        [rec, jnp.zeros((_F - rec.shape[0], n), dtype)], axis=0)
     # (T, F, M): M rides the 128-aligned lane axis in VMEM, so the kernel's
     # chunk loads are tile-granular lane slices (the only dynamic-ish slicing
-    # Mosaic lowers cleanly).
-    gathered = rec[:, tile_splat].transpose(1, 0, 2)  # (T, F, M)
+    # Mosaic lowers cleanly). Gather only the N_FIELDS real rows and pad the
+    # F-dimension AFTER — padding before the gather made the gather move the
+    # 6 zero rows too (37.5% of the pack traffic for nothing).
+    gathered = rec[:, tile_splat].transpose(1, 0, 2)  # (T, N_FIELDS, M)
     gathered = gathered.at[:, _C_AEFF, :].multiply(tile_live.astype(dtype))
-    return gathered
+    t, _, m = gathered.shape
+    return jnp.concatenate(
+        [gathered, jnp.zeros((t, _F - N_FIELDS, m), dtype)], axis=1)
 
 
 def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref, out_ref):
