@@ -64,7 +64,10 @@ def _force(out):
     return out
 
 
-def main() -> int:
+def bench_setup():
+    """Read the env-configured bench workload; returns (render_jit, params,
+    env) where env is the dict of resolved knobs. Shared by bench.py and
+    bench_trace.py so the traced frame is EXACTLY the benched frame."""
     n = int(os.environ.get("FOURDGS_BENCH_SPLATS", 10_000_000))
     width = int(os.environ.get("FOURDGS_BENCH_WIDTH", 1920))
     height = int(os.environ.get("FOURDGS_BENCH_HEIGHT", 1088))  # 1080p, tile-padded
@@ -86,7 +89,6 @@ def main() -> int:
         "FOURDGS_BENCH_SCHEDULE", "2560").split(",") if x)
 
     import jax
-    import jax.numpy as jnp
 
     from fourdgs.core.camera import Camera
     from fourdgs.render.pipeline import RenderConfig, render_params4d_packed
@@ -123,6 +125,23 @@ def main() -> int:
 
     render = jax.jit(lambda s, t: render_params4d_packed(s, camera, t, cfg=cfg,
                                                          return_aux=True))
+    env = dict(n=n, width=width, height=height, backend=backend, reps=reps,
+               slab=slab, passes=passes, tile_h=tile_h, budget=budget,
+               compact=compact, big_budget=big_budget, big_keep=big_keep,
+               sort_backend=sort_backend, compact_backend=compact_backend,
+               row_len=row_len, prune=prune, fraction=fraction,
+               schedule=schedule)
+    return render, params, env
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+
+    render, params, env = bench_setup()
+    n, reps = env["n"], env["reps"]
+    width, height, backend = env["width"], env["height"], env["backend"]
+    slab, passes, schedule = env["slab"], env["passes"], env["schedule"]
 
     t0 = time.time()
     img, aux = render(params, jnp.asarray(0.0))
@@ -153,13 +172,17 @@ def main() -> int:
     dropped = int(aux.get("compact_dropped", 0))
     underkeep = int(aux.get("prune_underkeep", 0))
     resid = float(aux.get("resid_transmittance", 0.0))
+    # Actual composited depth cap: slab + per-pass schedule sizes when a
+    # schedule is set, else slab * uniform passes (ADVICE r3: the printed
+    # cap must track the real config, not the env default).
+    depth_cap = slab + (sum(schedule) if schedule else slab * (passes - 1))
     print(f"# compile {compile_s:.1f}s, best frame {best*1000:.1f}ms, "
           f"{n / best / 1e6:.1f}M splats/s, mean rgb "
           f"{float(jnp.mean(img[..., :3])):.4f}, pair-budget overflow "
           f"{overflow}, compact dropped {dropped}, prune underkeep "
           f"{underkeep}, trunc resid {resid:.2e}, live pairs "
           f"{live_pairs:,}, deepest tile "
-          f"{max_tile_pairs:,} (composited depth cap {slab * passes:,})",
+          f"{max_tile_pairs:,} (composited depth cap {depth_cap:,})",
           file=sys.stderr)
     print(json.dumps(result))
     return 0

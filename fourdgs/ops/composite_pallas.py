@@ -8,12 +8,16 @@ Instead of walking splats one by one (a GPU-shader idiom that maps badly to
 the VPU), the kernel processes CHUNK=128 depth-ordered splats at a time,
 fully vectorized: alphas for the whole (chunk x pixel) block are computed on
 the VPU, and the *ordered* blend — normally a serial dependency — becomes a
-strictly-lower-triangular matmul in log-transmittance space on the MXU:
+log2(CHUNK)-step Hillis-Steele scan in PRODUCT space over (1 - alpha),
+implemented with `pltpu.roll` compare-free shifts along the sublane axis:
 
-    T_excl[i] = T_carry * exp( sum_{j<i} log(1 - a_j) )  =  exp(L @ log1m)
+    T_excl[i] = T_carry * prod_{j<i} (1 - a_j)
 
-with L the 128x128 strictly-lower-triangular ones matrix. That turns the
-painter's algorithm into MXU work, which is the whole point of a TPU design.
+(An MXU formulation — exp(L @ log1m) with L strictly-lower-triangular — was
+measured and REJECTED: Mosaic's log1p/exp are fast approximations whose
+~3e-4 relative error compounds over deep blends; the product-space scan
+reproduces GL's sequential blend arithmetic to ~3e-6 of an f64 reference.
+See KERNELCHECK.json and BASELINE.md.)
 
 Layouts are chosen for Mosaic: per-tile records are (M, F) so a chunk load is
 a (128, F) dynamic-sublane slice; pixels are a flat (1, 1024) lane vector;

@@ -248,7 +248,13 @@ def render_projected(proj: Projected, camera: Camera,
             tiles, t_fin = _composite_tiles_xla(
                 proj, tile_splat, tile_live, px, py, p00, p11, bg,
                 cfg.splat_chunk, return_resid=True)
-            resid = t_fin * (counts > cfg.max_splats_per_tile)[:, None]
+            truncated = counts > cfg.max_splats_per_tile
+            if binning.tile_pruned is not None:
+                # Pairs dropped by the depth prune are truncation error too:
+                # a pruned tile reports its residual even when the kept list
+                # fits the capacity exactly (ADVICE r3: boundary gap).
+                truncated = truncated | binning.tile_pruned
+            resid = t_fin * truncated[:, None]
     img = assemble_image(tiles, w, h, cfg.tile_h, cfg.tile_w)
     if not return_aux:
         return img
@@ -302,10 +308,11 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     ky = (py / p11).reshape(t_tiles, 1, p)
     arange_m = jnp.arange(m, dtype=jnp.int32)
 
-    with jax.named_scope("pass1"):
+    with jax.named_scope("pass1_pack"):
         rows0 = _gather_pair_rows(pair_pad, starts, m)
         live0 = arange_m[None, :] < counts_full[:, None]
         rec0 = pack_records(proj, rows0, live0, p00, p11)
+    with jax.named_scope("pass1_kernel"):
         out = composite_records(rec0,
                                 jnp.minimum(counts_full, m).astype(jnp.int32),
                                 kx, ky, identity_carry(t_tiles, dtype, p))
@@ -321,7 +328,7 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     if schedule and max(schedule) > m:
         pair_pad = _pad_pairs(binning.pair_splat, max(schedule))
     for mi in schedule:
-      with jax.named_scope(f"deepen_{mi}"):
+      with jax.named_scope(f"deepen_{mi}_select"):
         arange_mi = jnp.arange(mi, dtype=jnp.int32)
         remaining = counts_full - pairs_done
         unsat = jnp.max(out[:, 4, :], axis=1) > 1e-6
@@ -332,10 +339,12 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
         sel = order[:t_cap]
         act = active[sel]
         base = starts[sel] + pairs_done[sel]
+      with jax.named_scope(f"deepen_{mi}_pack"):
         rows = _gather_pair_rows(pair_pad, base, mi)
         off = pairs_done[sel][:, None] + arange_mi[None, :]
         live = act[:, None] & (off < counts_full[sel][:, None])
         rec = pack_records(proj, rows, live, p00, p11)
+      with jax.named_scope(f"deepen_{mi}_kernel"):
         cnt = jnp.where(act,
                         jnp.clip(counts_full[sel] - pairs_done[sel], 0, mi),
                         0).astype(jnp.int32)
@@ -350,6 +359,11 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     tiles = jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
     if return_resid:
         truncated = (counts_full - pairs_done) > 0
+        if binning.tile_pruned is not None:
+            # Depth-pruned pairs are truncation error too (ADVICE r3): a
+            # pruned tile whose kept list fits the composited depth exactly
+            # must still report its residual transmittance.
+            truncated = truncated | binning.tile_pruned
         return tiles, out[:, 4, :] * truncated[:, None]
     return tiles
 
@@ -476,10 +490,11 @@ def render_params4d_packed(params: dict, camera: Camera, t, min_opacity=0.0,
     trailing dim is ever materialized. `params` is a dict of (N,) component
     arrays (PARAM4D_FIELDS)."""
     from fourdgs.splats import packed as PK
-    cov4 = PK.cov4_motion(params)
-    mx, my, mz, cov3, opacity, sort_mean = PK.slice4d(params, cov4, t,
-                                                      min_opacity)
-    colors = (params["cr"], params["cg"], params["cb"], params["ca"])
-    proj = project_components(mx, my, mz, cov3, colors, opacity, camera,
-                              sort_mean=sort_mean)
+    with jax.named_scope("project"):
+        cov4 = PK.cov4_motion(params)
+        mx, my, mz, cov3, opacity, sort_mean = PK.slice4d(params, cov4, t,
+                                                          min_opacity)
+        colors = (params["cr"], params["cg"], params["cb"], params["ca"])
+        proj = project_components(mx, my, mz, cov3, colors, opacity, camera,
+                                  sort_mean=sort_mean)
     return render_projected(proj, camera, cfg, return_aux=return_aux)

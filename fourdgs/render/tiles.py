@@ -56,6 +56,11 @@ class TileBinning:
     # cap (None when pruning is off); callers surface it — never silently
     # nonzero.
     prune_underkeep: jax.Array | None = None
+    # (T,) bool: tiles whose pair list was cut by the depth prune (finite
+    # cut key). Compositors OR this into the truncation mask so a tile
+    # left with exactly the composite capacity still reports its residual
+    # transmittance (pairs dropped by the prune are truncation error too).
+    tile_pruned: jax.Array | None = None
 
 
 QUANT_DEPTH_BITS = 20
@@ -257,19 +262,22 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
     else:
         alive1 = alive
 
-    tids, lives, splat_idx, overflowed = _emit_pair_slots(
-        alive1, tx0, tx1, ty0, ty1, nx, num_tiles, max_tiles_per_splat,
-        tile_range)
+    with jax.named_scope("emit"):
+        tids, lives, splat_idx, overflowed = _emit_pair_slots(
+            alive1, tx0, tx1, ty0, ty1, nx, num_tiles, max_tiles_per_splat,
+            tile_range)
 
     if quantized_depth:
         assert num_tiles < (1 << 11) - 1, (
             "quantized_depth needs num_tiles < 2047; use the exact path")
         dbits = quantized_depth_bits(proj.depth)
         dead = jnp.iinfo(jnp.int32).max
-        key = jnp.concatenate([
-            jnp.where(live_s, (tid_s << QUANT_DEPTH_BITS) | dbits, dead)
-            for tid_s, live_s in zip(tids, lives)])
+        with jax.named_scope("emit"):
+            key = jnp.concatenate([
+                jnp.where(live_s, (tid_s << QUANT_DEPTH_BITS) | dbits, dead)
+                for tid_s, live_s in zip(tids, lives)])
         if two_tier:
+          with jax.named_scope("emit_big"):
             n = alive.shape[0]
             iota = jnp.arange(n, dtype=jnp.int32)
             bkey = jnp.where(is_big, iota, dead)
@@ -357,16 +365,19 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         # Clip padding-tile bounds to num_tiles: dead keys are int32 max, so
         # every bound at/above num_tiles lands at the dead block's start and
         # out-of-image tiles get zero counts.
-        bounds = jnp.minimum(tile_ids, num_tiles) << QUANT_DEPTH_BITS
-        tile_start = searchsorted_i32(key_s, bounds)
+        with jax.named_scope("csr"):
+            bounds = jnp.minimum(tile_ids, num_tiles) << QUANT_DEPTH_BITS
+            tile_start = searchsorted_i32(key_s, bounds)
         prune_underkeep = None
+        tile_pruned = None
         if prune_cut is not None:
             # Verify the sample-statistical guarantee: every tile that was
             # actually pruned must still hold >= the composite cap.
             counts = tile_start[1:] - tile_start[:-1]
             t_max = ((jnp.arange(num_tiles, dtype=jnp.int32) + 1)
                      << QUANT_DEPTH_BITS) - 1
-            prune_underkeep = jnp.sum((prune_cut < t_max)
+            tile_pruned = prune_cut < t_max
+            prune_underkeep = jnp.sum(tile_pruned
                                       & (counts < depth_prune_cap))
     else:
         tid = jnp.concatenate(tids)
@@ -387,9 +398,11 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
     if not quantized_depth:
         compact_dropped = None
         prune_underkeep = None
+        tile_pruned = None
     return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
                        compact_dropped=compact_dropped,
                        prune_underkeep=prune_underkeep,
+                       tile_pruned=tile_pruned,
                        tile_start=tile_start, overflowed=overflowed)
 
 

@@ -132,10 +132,33 @@ def densify_step(params: Dict[str, jax.Array], state: DensifyState,
         updated = jnp.where(mask, new, jnp.take(cur, slot, axis=0))
         out[f] = cur.at[slot].set(updated)
 
+    # Slots whose contents changed identity this event: pruned slots
+    # (silenced or refilled with a child) and split parents (scale jumps by
+    # split_factor). Everything else keeps its parameters bit-identically —
+    # the trainer resets Adam moments ONLY at these slots (optimizer
+    # momentum on an untouched splat is still valid history).
+    changed = prune | do_split
+    changed = changed.at[slot].set(changed[slot] | pair_valid)
+
     info = dict(n_pruned=jnp.sum(prune), n_placed=jnp.sum(pair_valid),
                 n_split=jnp.sum(pair_valid & split_src),
-                n_cloned=jnp.sum(pair_valid & ~split_src))
+                n_cloned=jnp.sum(pair_valid & ~split_src),
+                changed=changed)
     return out, init_state(n, dtype), info
+
+
+def reset_opt_slots(opt_state, changed: jax.Array, n: int):
+    """Zero Adam first/second moments at `changed` slots only, preserving
+    untouched slots' momentum history (and the global step count, whose
+    bias correction is ~1 at any realistic step — zeroed moments behave as
+    a fresh start). Works on any optax state pytree: every leaf whose
+    leading axis is the splat capacity is masked."""
+    def mask_leaf(leaf):
+        if hasattr(leaf, "shape") and leaf.ndim >= 1 and leaf.shape[0] == n:
+            keep = (~changed).reshape((n,) + (1,) * (leaf.ndim - 1))
+            return leaf * keep.astype(leaf.dtype)
+        return leaf
+    return jax.tree_util.tree_map(mask_leaf, opt_state)
 
 
 def pad_params(params: Dict[str, jax.Array], capacity: int

@@ -98,9 +98,10 @@ def fit(params: Dict[str, jax.Array],
     step, and every `densify_every` steps (until `densify_until * steps`)
     low-opacity splats are pruned and their slots refilled with clones /
     splits of the highest-pressure splats. Capacity is static (pad the
-    pytree with densify.pad_params beforehand to leave headroom); Adam
-    moments are re-initialized at each densify event since slot contents
-    change identity."""
+    pytree with densify.pad_params beforehand to leave headroom). At each
+    densify event Adam moments are zeroed ONLY at slots whose contents
+    changed identity (pruned/refilled/split) — untouched splats keep their
+    momentum history (densify.reset_opt_slots)."""
     from fourdgs.train import densify as D
 
     frames = list(frames)
@@ -138,7 +139,8 @@ def fit(params: Dict[str, jax.Array],
             if (i + 1) % densify_every == 0 and i + 1 < densify_until * steps:
                 key, sub = jax.random.split(key)
                 params, dstate, info = densify_jit(params, dstate, sub)
-                opt_state = opt.init(params)
+                opt_state = D.reset_opt_slots(
+                    opt_state, info["changed"], n)
                 if metrics is not None:
                     metrics.log("densify", step=i,
                                 n_pruned=int(info["n_pruned"]),

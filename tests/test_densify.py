@@ -83,6 +83,47 @@ def test_densify_mechanics():
     assert int(st2.steps) == 0 and float(jnp.sum(st2.grad_accum)) == 0.0
 
 
+def test_opt_moments_survive_densify():
+    """Adam moments of slots untouched by a densify event must survive it
+    bit-identically; changed slots (pruned/refilled/split-parent) reset to
+    zero (VERDICT r3 weak #7: a full opt.init re-warmed every moment)."""
+    import optax
+
+    alpha = jnp.array([1.0, 1e-4, 1.0, 1.0, 0.0, 1.0, 1e-3, 1.0])
+    p = _params(8, alpha=alpha)
+    p["scale3"] = p["scale3"].at[2].set(5.0)
+    st = D.DensifyState(
+        grad_accum=jnp.array([5.0, 99.0, 4.0, 0.0, 99.0, 0.0, 0.0, 0.0]),
+        steps=jnp.ones((), jnp.int32))
+    cfg = D.DensifyConfig(grad_thresh=1.0, split_scale=2.0)
+
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(p)
+    # Take one real update so moments are nonzero.
+    grads = jax.tree_util.tree_map(
+        lambda a: jnp.full_like(a, 0.25), p)
+    _, opt_state = opt.update(grads, opt_state, p)
+
+    out, _, info = D.densify_step(p, st, jax.random.PRNGKey(1), cfg)
+    changed = np.asarray(info["changed"])
+    # Mechanics recap: pruned {1,4,6}, split parent {2}; filled {1,4}.
+    assert set(np.nonzero(changed)[0]) == {1, 2, 4, 6}
+
+    new_state = D.reset_opt_slots(opt_state, info["changed"], 8)
+    mu_old = opt_state[0].mu["position4"]
+    mu_new = new_state[0].mu["position4"]
+    nu_new = new_state[0].nu["position4"]
+    for i in range(8):
+        if changed[i]:
+            assert float(jnp.sum(jnp.abs(mu_new[i]))) == 0.0
+            assert float(jnp.sum(jnp.abs(nu_new[i]))) == 0.0
+        else:
+            np.testing.assert_array_equal(np.asarray(mu_new[i]),
+                                          np.asarray(mu_old[i]))
+    # Global step count is preserved (untouched slots' bias correction).
+    assert int(new_state[0].count) == int(opt_state[0].count)
+
+
 def test_densify_no_candidates_no_slots():
     p = _params(6)
     st = D.DensifyState(grad_accum=jnp.zeros((6,)),

@@ -1,7 +1,8 @@
 """Pallas pair-sort stack: bitonic merge tree, cut-key pruning, and their
-pipeline integration (interpret mode on CPU; compiled execution is certified
-on-chip by the sort self-checks run alongside bench.py — the TPU analog of
-resources/sort_test_*.comp.glsl, SURVEY.md section 4.1)."""
+pipeline integration (interpret mode on CPU). Compiled execution is
+certified on-chip by `validate_kernels.py::check_sort` (run alongside
+bench.py; results in KERNELCHECK.json) — the TPU analog of the reference's
+GPU sort self-checks (resources/sort_test_*.comp.glsl, SURVEY.md §4.1)."""
 
 import jax
 import jax.numpy as jnp

@@ -150,7 +150,14 @@ def check_records(refs, p, seed):
 
 
 def check_pipeline(deepening: bool):
-    """Full flagship pipeline: pallas vs xla backend, image + grads."""
+    """Full flagship pipeline: pallas vs xla backend, image + grads.
+
+    deepening=True shrinks the slab to 64 so the deepening passes carry
+    REAL work (the scene's deepest tile holds ~149 pairs): pass 2+ must
+    resume from a nontrivial carry through composite_records_at. The aux
+    assertion below makes the check fail loudly if a config change ever
+    makes it vacuous again (ADVICE r3: the r3 check compared bit-identical
+    single-pass results)."""
     import jax
     import jax.numpy as jnp
     from bench import build_cube_scene
@@ -162,13 +169,12 @@ def check_pipeline(deepening: bool):
     camera = Camera.create(position=(420.0, 300.0, 420.0),
                            orientation=(-1.0, -0.7, -1.0),
                            far=5000.0, width=512, height=256)
-    kw = dict(tile_h=8, tile_w=128, max_splats_per_tile=256,
-              max_tiles_per_splat=8, splat_chunk=64)
-    cfg_p = RenderConfig(backend="pallas", **kw,
-                         deepening_passes=3 if deepening else 1,
+    kw = dict(tile_h=8, tile_w=128, max_tiles_per_splat=8, splat_chunk=64)
+    slab = 64 if deepening else 256
+    cfg_p = RenderConfig(backend="pallas", **kw, max_splats_per_tile=slab,
+                         deepening_passes=4 if deepening else 1,
                          deepening_fraction=1.0)
-    cfg_x = RenderConfig(backend="xla", **{**kw,
-                                           "max_splats_per_tile": 768})
+    cfg_x = RenderConfig(backend="xla", **kw, max_splats_per_tile=768)
 
     def loss(p, cfg):
         img = render_params4d_packed(p, camera, 0.0, cfg=cfg)
@@ -181,12 +187,91 @@ def check_pipeline(deepening: bool):
     (lx, img_x), gx = jax.jit(jax.value_and_grad(
         lambda p: loss(p, cfg_x), has_aux=True))(params)
 
+    res = dict(deepening=deepening)
+    if deepening:
+        _, aux = jax.jit(lambda p: render_params4d_packed(
+            p, camera, 0.0, cfg=cfg_p, return_aux=True))(params)
+        res["deepest_tile_pairs"] = int(aux["max_tile_pairs"])
+        res["deepening_nonvacuous"] = bool(aux["max_tile_pairs"] > slab)
+        res["resid_transmittance"] = float(aux["resid_transmittance"])
+
     leaves_d = jax.tree_util.tree_leaves(
         jax.tree_util.tree_map(_maxdiff, gp, gx))
     scale = max(_relscale(l) for l in jax.tree_util.tree_leaves(gx))
-    return dict(deepening=deepening,
-                img_maxdiff=_maxdiff(img_p, img_x),
-                grad_reldiff=max(leaves_d) / scale)
+    res.update(img_maxdiff=_maxdiff(img_p, img_x),
+               grad_reldiff=max(leaves_d) / scale)
+    return res
+
+
+def _kv64(k, v):
+    """Combine int32 kv into sortable int64 pair codes (numpy, host)."""
+    return (np.asarray(k).astype(np.int64) << 32) | (
+        np.asarray(v).astype(np.int64) & 0xFFFFFFFF)
+
+
+def check_sort():
+    """COMPILED execution of the shipped pallas sort/compact/prune kernels,
+    mirroring the reference's GPU sort self-checks
+    (resources/sort_test_{check_sorted,arr_compare,count_elements}.comp.glsl):
+    monotone order, element conservation (permutation property), and
+    equality against the XLA formulation. The unit tests run these kernels
+    in interpret mode only; this is the on-chip certification (ADVICE r3:
+    rowsort_compact/apply_cutkeys ship ON in the bench config)."""
+    import jax
+    import jax.numpy as jnp
+    from fourdgs.ops.lookup_pallas import apply_cutkeys
+    from fourdgs.ops.sort_pallas import DEAD, merge_sorted_rows, rowsort_compact
+
+    rng = np.random.default_rng(7)
+    s = 1 << 22
+    t = 1020
+    tile = rng.integers(0, t, s, dtype=np.int32)
+    depth = rng.integers(0, 1 << 20, s, dtype=np.int32)
+    key_np = (tile << 20) | depth
+    key_np[rng.random(s) < 0.45] = DEAD          # dead slots like emission
+    val_np = np.arange(s, dtype=np.int32)
+    key = jnp.asarray(key_np)
+    val = jnp.asarray(val_np)
+    res = {}
+
+    # 1. apply_cutkeys (streamed prune lookup) vs the XLA formula.
+    cut_np = ((np.arange(t, dtype=np.int32) << 20)
+              | rng.integers(0, 1 << 20, t, dtype=np.int32))
+    cut = jnp.asarray(cut_np)
+    pruned = np.asarray(jax.jit(apply_cutkeys)(key, cut))
+    ref = np.where(key_np <= cut_np[np.clip(key_np >> 20, 0, t - 1)],
+                   key_np, DEAD)
+    res["cutkeys_match"] = bool(np.array_equal(pruned, ref))
+
+    # 2. rowsort_compact: dropped==0 at a margin keep, per-row monotone
+    #    order, and exact live-pair (key, value) multiset conservation.
+    row_len, keep = 512, 384
+    ok, ov, dropped = jax.jit(
+        lambda k, v: rowsort_compact(k, v, keep, row_len=row_len))(key, val)
+    ok, ov, dropped = np.asarray(ok), np.asarray(ov), int(dropped)
+    res["rowsort_dropped"] = dropped
+    mono = np.all(np.diff(ok.astype(np.int64), axis=0) >= 0)
+    res["rowsort_monotone"] = bool(mono)
+    live_in = key_np != DEAD
+    kept_live = ok != DEAD
+    res["rowsort_conserves"] = bool(
+        dropped == 0
+        and np.array_equal(
+            np.sort(_kv64(ok[kept_live], ov[kept_live])),
+            np.sort(_kv64(key_np[live_in], val_np[live_in]))))
+
+    # 3. merge_sorted_rows: globally monotone + multiset conservation.
+    r_rows, c = 128, 2048
+    k2_np = np.sort(key_np[:r_rows * c].reshape(r_rows, c), axis=1)
+    k2_np[1::2] = k2_np[1::2, ::-1]
+    v2_np = rng.integers(0, 1 << 30, (r_rows, c), dtype=np.int32)
+    km, vm = jax.jit(lambda a, b: merge_sorted_rows(
+        a, b, rows_alternating=True))(jnp.asarray(k2_np), jnp.asarray(v2_np))
+    km = np.asarray(km)
+    res["merge_monotone"] = bool(np.all(np.diff(km.astype(np.int64)) >= 0))
+    res["merge_conserves"] = bool(np.array_equal(
+        np.sort(km), np.sort(k2_np.reshape(-1))))
+    return res
 
 
 def main() -> int:
@@ -206,6 +291,7 @@ def main() -> int:
         "records_16x128": check_records(refs, *FIXTURES[1]),
         "pipeline_single": check_pipeline(False),
         "pipeline_deepening": check_pipeline(True),
+        "sort": check_sort(),
     }
     ok = True
     for k in ("records_8x128", "records_16x128"):
@@ -229,6 +315,11 @@ def main() -> int:
         # isolated pixels; grads agree to twin-accuracy.
         ok &= results[k]["img_maxdiff"] < 5e-2
         ok &= results[k]["grad_reldiff"] < 5e-3
+    # The deepening check must exercise real deepening work (fail loudly if
+    # a config change ever makes it a no-op again).
+    ok &= results["pipeline_deepening"]["deepening_nonvacuous"]
+    for k, v in results["sort"].items():
+        ok &= (v == 0) if k == "rowsort_dropped" else bool(v)
     results["pass"] = bool(ok)
     with open("KERNELCHECK.json", "w") as f:
         json.dump(results, f, indent=1)
