@@ -170,13 +170,17 @@ def _emit_pair_slots(alive, tx0, tx1, ty0, ty1, nx, num_tiles: int,
     span = nx_span * ny_span
     overflowed = jnp.sum((span > max_tiles_per_splat) & alive)
 
-    safe_nx = jnp.maximum(nx_span, 1)
     idx1 = (jnp.arange(n, dtype=jnp.int32) if splat_ids is None
             else splat_ids.astype(jnp.int32))
+    # Walk the bbox rectangle with CARRIED (sx, sy) offsets — adds and
+    # compares only. The closed form (sy = s // nx_span) costs a vector
+    # integer division per slot: no VPU hardware divide, so XLA expands it
+    # to a long multiply/shift sequence (traced at ~4 ms per 10M-splat slot
+    # fusion = most of the 19 ms emit stage, SOL_r04).
+    sx = jnp.zeros_like(tx0)
+    sy = jnp.zeros_like(ty0)
     tids, lives = [], []
     for s in range(max_tiles_per_splat):
-        sy = s // safe_nx
-        sx = s - sy * safe_nx
         live_s = alive & (s < span) & (sy < ny_span)
         tid_s = (ty0 + sy) * nx + (tx0 + sx)
         if tile_range is not None:
@@ -184,6 +188,11 @@ def _emit_pair_slots(alive, tx0, tx1, ty0, ty1, nx, num_tiles: int,
             live_s = live_s & (tid_s >= lo) & (tid_s < lo + n_local)
         tids.append(jnp.where(live_s, tid_s, num_tiles))
         lives.append(live_s)
+        if s + 1 < max_tiles_per_splat:
+            sx = sx + 1
+            wrap = sx >= nx_span
+            sx = jnp.where(wrap, 0, sx)
+            sy = jnp.where(wrap, sy + 1, sy)
     splat_idx = jnp.concatenate([idx1] * max_tiles_per_splat)
     return tids, lives, splat_idx, overflowed
 
@@ -285,10 +294,16 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                                                 big_splat_keep_cols)
             blive = ids != dead
             safe = jnp.minimum(ids, n - 1)
+            # ONE stacked gather for every per-splat field the big tier
+            # needs: separate 1-D gathers cost ~25 ns per random index EACH
+            # (traced at ~4 ms x 6 fields = most of the emit stage,
+            # SOL_r04); a multi-row gather fetches all rows of an index for
+            # about the cost of one.
+            bfields = jnp.stack([tx0, tx1, ty0, ty1, dbits, span])[:, safe]
+            btx0, btx1, bty0, bty1, dbits_b, span_b = bfields
             tidsb, livesb, sidxb, _ = _emit_pair_slots(
-                blive, tx0[safe], tx1[safe], ty0[safe], ty1[safe], nx,
+                blive, btx0, btx1, bty0, bty1, nx,
                 num_tiles, big_splat_budget, tile_range, splat_ids=safe)
-            dbits_b = dbits[safe]
             keyb = jnp.concatenate([
                 jnp.where(l, (ti << QUANT_DEPTH_BITS) | dbits_b, dead)
                 for ti, l in zip(tidsb, livesb)])
@@ -297,7 +312,7 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             # Span overflow counted only among KEPT big splats: one dropped
             # by the capacity cap is already in big_dropped (counting its
             # span overflow too would double-count it).
-            overflowed = (jnp.sum(blive & (span[safe] > big_splat_budget))
+            overflowed = (jnp.sum(blive & (span_b > big_splat_budget))
                           + big_dropped)
         prune_cut = None
         if depth_prune_cap and tile_range is None:
