@@ -87,6 +87,13 @@ def bench_setup():
     fraction = float(os.environ.get("FOURDGS_BENCH_FRACTION", 0.34))
     schedule = tuple(int(x) for x in os.environ.get(
         "FOURDGS_BENCH_SCHEDULE", "2560").split(",") if x)
+    tail = os.environ.get("FOURDGS_BENCH_TAIL", "off")   # off | banded
+    tail_bands = int(os.environ.get("FOURDGS_BENCH_TAIL_BANDS", 8))
+    tail_block = tuple(int(x) for x in os.environ.get(
+        "FOURDGS_BENCH_TAIL_BLOCK", "8,8").split(","))
+    tail_chunk = int(os.environ.get("FOURDGS_BENCH_TAIL_CHUNK", 2048))
+    prune_safety = float(os.environ.get("FOURDGS_BENCH_PRUNE_SAFETY",
+                                        1.2 if tail == "banded" else 2.0))
 
     import jax
 
@@ -97,7 +104,14 @@ def bench_setup():
     if not on_tpu and "FOURDGS_BENCH_SPLATS" not in os.environ:
         n = 200_000  # keep CPU smoke runs tractable
 
-    params = _force(build_cube_scene(n))
+    params = build_cube_scene(n)
+    if tail == "banded":
+        # One-time scene-build reorder (splats/packed.morton_order): gives
+        # the streaming tail kernel screen-tile locality. Not timed —
+        # mirrors the reference's one-time init() scene build.
+        from fourdgs.splats.packed import morton_order
+        params = morton_order(params)
+    params = _force(params)
 
     camera = Camera.create(position=(420.0, 300.0, 420.0),
                            orientation=(-1.0, -0.7, -1.0),
@@ -117,7 +131,12 @@ def bench_setup():
                            sort_backend=sort_backend,
                            compact_backend=compact_backend,
                            compact_row_len=row_len,
-                           depth_prune_cap=prune)
+                           depth_prune_cap=prune,
+                           depth_prune_safety=prune_safety,
+                           tail_mode=tail,
+                           tail_bands=tail_bands,
+                           tail_block=tail_block,
+                           tail_chunk=tail_chunk)
     else:
         cfg = RenderConfig(max_splats_per_tile=2048,
                            max_tiles_per_splat=budget,
@@ -130,7 +149,9 @@ def bench_setup():
                compact=compact, big_budget=big_budget, big_keep=big_keep,
                sort_backend=sort_backend, compact_backend=compact_backend,
                row_len=row_len, prune=prune, fraction=fraction,
-               schedule=schedule)
+               schedule=schedule, tail=tail, tail_bands=tail_bands,
+               tail_block=tail_block, tail_chunk=tail_chunk,
+               prune_safety=prune_safety)
     return render, params, env
 
 

@@ -71,6 +71,11 @@ STAGES = [
     ("deepen_select", r"/deepen_\d+_select/"),
     ("deepen_pack", r"/deepen_\d+_pack/"),
     ("deepen_kernel", r"/deepen_\d+_kernel/"),
+    ("head_exhaust", r"/head_exhaust/"),
+    ("tail_main", r"/tail_main/"),
+    ("tail_big", r"/tail_big/"),
+    ("tail_combine", r"/tail_combine/"),
+    ("tail_prep", r"/tail/"),
     ("composite_other", r"/composite/"),
 ]
 

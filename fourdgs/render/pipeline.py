@@ -93,6 +93,19 @@ class RenderConfig:
     # 0 = off. aux["prune_underkeep"] verifies the statistical guarantee.
     depth_prune_cap: int = 0
     depth_prune_safety: float = 2.0
+    # Streaming banded-OIT tail (ops/tail_pallas.py): "banded" composites
+    # EVERY pair beyond the per-tile prune cut — the exact complement of
+    # the head — at coarse resolution with depth-band ordering, closing
+    # the depth-cap truncation gap vs the reference's blend-everything
+    # pipeline. Requires backend="pallas", quantized sort, and
+    # depth_prune_cap > 0 (the cut IS the head/tail boundary); the head
+    # then deepens until its kept set is exhausted. Splats should be in
+    # Morton order (scene-build reorder, splats/packed.morton_order) for
+    # the kernel's screen-tile locality; correctness does not depend on it.
+    tail_mode: str = "off"          # "off" | "banded"
+    tail_bands: int = 8             # depth bands (ordered; OIT within)
+    tail_block: Tuple[int, int] = (8, 8)   # coarse px block (y, x)
+    tail_chunk: int = 2048          # splats per tail grid step
 
 
 def _pad_pairs(pair_splat: jax.Array, m: int) -> jax.Array:
@@ -232,7 +245,9 @@ def render_projected(proj: Projected, camera: Camera,
                              pallas_compact=(cfg.compact_backend == "pallas"),
                              compact_row_len=cfg.compact_row_len,
                              depth_prune_cap=cfg.depth_prune_cap,
-                             depth_prune_safety=cfg.depth_prune_safety)
+                             depth_prune_safety=cfg.depth_prune_safety,
+                             head_cap=(cfg.max_splats_per_tile
+                                       if cfg.tail_mode == "banded" else 0))
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
@@ -240,7 +255,8 @@ def render_projected(proj: Projected, camera: Camera,
     with jax.named_scope("composite"):
         if cfg.backend == "pallas":
             tiles, resid = _composite_pallas_progressive(
-                proj, binning, px, py, p00, p11, bg, cfg, return_resid=True)
+                proj, binning, px, py, p00, p11, bg, cfg, return_resid=True,
+                image_size=(w, h))
         else:
             ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
             tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg,
@@ -280,7 +296,8 @@ def render_projected(proj: Projected, camera: Camera,
 
 def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
                                   background, cfg: RenderConfig,
-                                  return_resid: bool = False):
+                                  return_resid: bool = False,
+                                  image_size=None):
     """Progressive-deepening composite (pallas backend; handles passes=1).
 
     Pass 1 composites every tile's nearest `max_splats_per_tile` splats.
@@ -303,6 +320,10 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     t_tiles, p = px.shape
     starts = binning.tile_start[:-1]
     counts_full = binning.tile_start[1:] - starts
+    if binning.head_counts is not None and cfg.tail_mode == "banded":
+        # Post-sort re-cut: the head owns exactly these nearest pairs;
+        # the banded tail owns the complement {key > prune_cut}.
+        counts_full = binning.head_counts
     pair_pad = _pad_pairs(binning.pair_splat, m)
     kx = (px / p00).reshape(t_tiles, 1, p)
     ky = (py / p11).reshape(t_tiles, 1, p)
@@ -320,10 +341,50 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
 
     t_cap = max(128, int(round(t_tiles * cfg.deepening_fraction)))
     t_cap = min(t_cap, t_tiles)
-    schedule = cfg.deepening_schedule or (m,) * (cfg.deepening_passes - 1)
-    assert len(schedule) == cfg.deepening_passes - 1, \
-        (cfg.deepening_schedule, cfg.deepening_passes)
-    assert all(mi % 128 == 0 for mi in schedule), schedule  # kernel CHUNK
+    use_tail = (cfg.tail_mode == "banded"
+                and binning.prune_cut is not None)
+    if use_tail:
+        # The head must composite its kept set EXHAUSTIVELY (the tail owns
+        # exactly {key > prune_cut}; anything the head leaves would be
+        # lost): deepen in while-loop slabs until every unsaturated tile
+        # has consumed its kept pairs. The static schedule is ignored.
+        def head_cond(state):
+            out_s, done_s = state
+            unsat = jnp.max(out_s[:, 4, :], axis=1) > 1e-6
+            return jnp.any(unsat & (counts_full - done_s > 0))
+
+        def head_body(state):
+            out_s, done_s = state
+            remaining = counts_full - done_s
+            unsat = jnp.max(out_s[:, 4, :], axis=1) > 1e-6
+            active = unsat & (remaining > 0)
+            order = jnp.argsort(-active.astype(jnp.int32), stable=True)
+            sel = order[:t_cap]
+            act = active[sel]
+            base = starts[sel] + done_s[sel]
+            rows = _gather_pair_rows(pair_pad, base, m)
+            off = done_s[sel][:, None] + arange_m[None, :]
+            live = act[:, None] & (off < counts_full[sel][:, None])
+            rec = pack_records(proj, rows, live, p00, p11)
+            cnt = jnp.where(act,
+                            jnp.clip(counts_full[sel] - done_s[sel], 0, m),
+                            0).astype(jnp.int32)
+            out2 = composite_records_at(rec, cnt, sel, kx, ky, out_s)
+            return out2, done_s.at[sel].add(jnp.where(act, cnt, 0))
+
+        with jax.named_scope("head_exhaust"):
+            out, pairs_done = jax.lax.while_loop(
+                head_cond, head_body, (out, pairs_done))
+        with jax.named_scope("tail"):
+            w_img, h_img = image_size
+            out = _apply_banded_tail(out, proj, binning, p00, p11, cfg,
+                                     w_img, h_img)
+        schedule = ()
+    else:
+        schedule = cfg.deepening_schedule or (m,) * (cfg.deepening_passes - 1)
+        assert len(schedule) == cfg.deepening_passes - 1, \
+            (cfg.deepening_schedule, cfg.deepening_passes)
+        assert all(mi % 128 == 0 for mi in schedule), schedule  # kernel CHUNK
     # Pad the slab pair array so the largest scheduled slab slices in-range.
     if schedule and max(schedule) > m:
         pair_pad = _pad_pairs(binning.pair_splat, max(schedule))
@@ -359,13 +420,132 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     tiles = jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)
     if return_resid:
         truncated = (counts_full - pairs_done) > 0
-        if binning.tile_pruned is not None:
+        if binning.tile_pruned is not None and not use_tail:
             # Depth-pruned pairs are truncation error too (ADVICE r3): a
             # pruned tile whose kept list fits the composited depth exactly
-            # must still report its residual transmittance.
+            # must still report its residual transmittance. With the banded
+            # tail, pruned-away pairs are composited (not dropped), so only
+            # genuine head under-exhaustion would count — and the exhaust
+            # loop drives that to zero.
             truncated = truncated | binning.tile_pruned
         return tiles, out[:, 4, :] * truncated[:, None]
     return tiles
+
+
+def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
+                       cfg: RenderConfig, w: int, h: int):
+    """Composite every pair beyond the per-tile prune cut into the carry.
+
+    Streams the full splat set through the banded-OIT coarse tail kernel
+    (ops/tail_pallas.py — zero sorting, zero gathers), folds the K ordered
+    depth bands, bilinearly upsamples the coarse tail field, and blends it
+    under the head's per-pixel transmittance. `out` is the (T, 8, P) head
+    carry (pre-background); returns the updated carry."""
+    from fourdgs.ops import tail_pallas as TPL
+    from fourdgs.ops.composite_pallas import record_fields
+    from fourdgs.render.tiles import quantized_depth_bits, splat_tile_bbox
+
+    ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
+    dtype = out.dtype
+    dead = jnp.iinfo(jnp.int32).max
+    alive, tx0, tx1, ty0, ty1 = splat_tile_bbox(
+        proj, p00, p11, w, h, cfg.tile_h, cfg.tile_w)
+    dbits = quantized_depth_bits(proj.depth)
+    fields = record_fields(proj, p00, p11)                 # (10, N)
+    cut = binning.prune_cut
+    k_bands = cfg.tail_bands
+
+    # Global depth-band cuts from a contiguous-block subsample of live
+    # depth bits (a strided slice would lower to an XLA gather — ~8 ms at
+    # 10M; block slices are contiguous reads).
+    n = dbits.shape[0]
+    m_blk = (n // 8192) * 8192
+    if m_blk >= 8192:
+        db_s = dbits[:m_blk].reshape(-1, 8192)[:, :128].reshape(-1)
+        al_s = alive[:m_blk].reshape(-1, 8192)[:, :128].reshape(-1)
+    else:
+        db_s, al_s = dbits, alive
+    band_cuts = TPL.global_band_cuts(jnp.where(al_s, db_s, dead), k_bands)
+
+    # Affine sample-coordinate params (k units; see tail_pallas docstring).
+    by, bx = cfg.tail_block
+    s_cy, s_cx = cfg.tile_h // by, cfg.tile_w // bx
+    assert s_cy * by == cfg.tile_h and s_cx * bx == cfg.tile_w, \
+        (cfg.tail_block, cfg.tile_h, cfg.tile_w)
+    kx_t = (cfg.tile_w * 2.0 / w) / p00
+    kx_j = (bx * 2.0 / w) / p00
+    kx_0 = ((bx * 0.5) * 2.0 / w - 1.0) / p00
+    ky_t = -(cfg.tile_h * 2.0 / h) / p11
+    ky_j = -(by * 2.0 / h) / p11
+    ky_0 = (1.0 - (by * 0.5) * 2.0 / h) / p11
+    bx2 = (bx * 2.0 / w / p00) ** 2 / 12.0
+    by2 = (by * 2.0 / h / p11) ** 2 / 12.0
+    params_row = jnp.stack([kx_t, kx_j, kx_0, ky_t, ky_j, ky_0, bx2,
+                            by2]).astype(jnp.float32)
+
+    chunk = cfg.tail_chunk
+    meta = TPL.tail_meta(alive, tx0, tx1, ty0, ty1, dbits, 0,
+                         cfg.max_tiles_per_splat, chunk)
+    band, rect = TPL.step_bands_rects(meta, chunk, band_cuts)
+    with jax.named_scope("tail_main"):
+        acc = TPL.tail_accumulate(
+            fields, meta, band, rect, cut, params_row, k_bands=k_bands,
+            nx=nx, ny=ny, chunk=chunk, budget=cfg.max_tiles_per_splat,
+            s_cy=s_cy, s_cx=s_cx)
+
+    if binning.big_ids is not None:
+        # Big-tier stream: the kept wide-span splat ids re-walked with the
+        # big budget (exactly the head's big tier). One stacked gather
+        # fetches record fields + bbox + depth bits together.
+        ids = binning.big_ids
+        safe = jnp.minimum(ids, n - 1)
+        ints = jax.lax.bitcast_convert_type(
+            jnp.stack([tx0, tx1, ty0, ty1, dbits,
+                       alive.astype(jnp.int32)]), jnp.float32)
+        packed = jnp.concatenate([fields, ints])[:, safe]   # (16, keep)
+        bfields = packed[:10]
+        btx0, btx1, bty0, bty1, bdbits, balive = \
+            jax.lax.bitcast_convert_type(packed[10:], jnp.int32)
+        b_alive = (ids != dead) & (balive != 0)
+        chunk_b = min(512, _ceil8(ids.shape[0]))
+        meta_b = TPL.tail_meta(b_alive, btx0, btx1, bty0, bty1, bdbits,
+                               cfg.max_tiles_per_splat,
+                               cfg.big_splat_budget, chunk_b)
+        band_b, rect_b = TPL.step_bands_rects(meta_b, chunk_b, band_cuts)
+        with jax.named_scope("tail_big"):
+            acc = acc + TPL.tail_accumulate(
+                bfields, meta_b, band_b, rect_b, cut, params_row,
+                k_bands=k_bands, nx=nx, ny=ny, chunk=chunk_b,
+                budget=cfg.big_splat_budget, s_cy=s_cy, s_cx=s_cx)
+
+    # Fold bands, upsample the coarse tail field, blend under T_head.
+    with jax.named_scope("tail_combine"):
+        n_samp = s_cy * s_cx
+        ny_pad = TPL._ceil_to(ny + TPL.WIN_TY, 8)
+        acc_r = acc.reshape(k_bands, nx, ny_pad, TPL.N_PLANES,
+                            n_samp)[:, :, :ny]
+        acc_t = acc_r.transpose(2, 1, 0, 3, 4).reshape(
+            ny * nx, k_bands, TPL.N_PLANES, n_samp)
+        rgb_c, alpha_c, trans_c = TPL.combine_bands(acc_t)
+        coarse = jnp.concatenate(
+            [rgb_c, alpha_c[:, None], trans_c[:, None]], axis=1)  # (T,5,S)
+        img_c = coarse.reshape(ny, nx, 5, s_cy, s_cx).transpose(
+            2, 0, 3, 1, 4).reshape(5, ny * s_cy, nx * s_cx)
+        up = jax.image.resize(
+            img_c, (5, ny * cfg.tile_h, nx * cfg.tile_w), method="bilinear")
+        upt = up.reshape(5, ny, cfg.tile_h, nx, cfg.tile_w).transpose(
+            1, 3, 0, 2, 4).reshape(ny * nx, 5,
+                                   cfg.tile_h * cfg.tile_w).astype(dtype)
+        t_head = out[:, 4:5, :]
+        new_rgb = out[:, 0:3, :] + t_head * upt[:, 0:3, :]
+        new_a = out[:, 3:4, :] + t_head * upt[:, 3:4, :]
+        new_t = t_head * upt[:, 4:5, :]
+        return jnp.concatenate([new_rgb, new_a, new_t, out[:, 5:8, :]],
+                               axis=1)
+
+
+def _ceil8(x: int) -> int:
+    return -(-x // 8) * 8
 
 
 def _composite_pairrec_progressive(rec_pairs: jax.Array, tile_start: jax.Array,

@@ -61,6 +61,19 @@ class TileBinning:
     # left with exactly the composite capacity still reports its residual
     # transmittance (pairs dropped by the prune are truncation error too).
     tile_pruned: jax.Array | None = None
+    # (T,) int32 per-tile prune cut keys (None when pruning is off): the
+    # head/tail partition boundary — the banded-OIT tail compositor
+    # (ops/tail_pallas.py) takes exactly the complement {key > cut}.
+    prune_cut: jax.Array | None = None
+    # (T,) int32 per-tile head pair counts under the post-sort re-cut
+    # (None unless head_cap was given): the head composites exactly this
+    # many nearest pairs per tile; everything beyond (kept OR pruned) has
+    # key > prune_cut and belongs to the tail.
+    head_counts: jax.Array | None = None
+    # (big_splat_keep_cols,) int32 kept big-tier splat ids (INT32_MAX for
+    # empty capacity slots; None when the two-tier emission is off). The
+    # tail compositor's big stream re-walks exactly these ids.
+    big_ids: jax.Array | None = None
 
 
 QUANT_DEPTH_BITS = 20
@@ -217,7 +230,8 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                pallas_compact: bool = False,
                compact_row_len: int = 8192,
                depth_prune_cap: int = 0,
-               depth_prune_safety: float = 2.0) -> TileBinning:
+               depth_prune_safety: float = 2.0,
+               head_cap: int = 0) -> TileBinning:
     """Build sorted (tile, splat) pairs.
 
     tile_range=(lo, n_local): restrict binning to the local tile window
@@ -314,6 +328,9 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             # span overflow too would double-count it).
             overflowed = (jnp.sum(blive & (span_b > big_splat_budget))
                           + big_dropped)
+            big_ids = ids
+        else:
+            big_ids = None
         prune_cut = None
         if depth_prune_cap and tile_range is None:
             # Drop pairs deeper than any slab the compositor will ever
@@ -385,6 +402,7 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             tile_start = searchsorted_i32(key_s, bounds)
         prune_underkeep = None
         tile_pruned = None
+        head_counts = None
         if prune_cut is not None:
             # Verify the sample-statistical guarantee: every tile that was
             # actually pruned must still hold >= the composite cap.
@@ -394,6 +412,29 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             tile_pruned = prune_cut < t_max
             prune_underkeep = jnp.sum(tile_pruned
                                       & (counts < depth_prune_cap))
+            if head_cap:
+                # POST-SORT RE-CUT (tail mode): the sample-estimated prune
+                # cut only bounds the kept set loosely (tie blocks and
+                # sampling variance can leave 10-60x head_cap in a tile —
+                # measured 32K at the 10M bench). With the sorted keys in
+                # hand, move the head/tail boundary so the head composites
+                # AT MOST head_cap nearest pairs: for overfull tiles the
+                # cut is one below the head_cap-th key, which pushes that
+                # key's whole tie block to the tail (pairs sharing one
+                # quantized depth are arbitrarily ordered anyway — the
+                # band-OIT tail treats them no worse than the sort does).
+                # EVERYTHING beyond the cut — kept or pruned — satisfies
+                # key > prune_cut, the tail compositor's exact complement,
+                # and the head's exhaust loop is a guaranteed no-op.
+                starts_q = tile_start[:-1]
+                last = starts_q + jnp.minimum(counts, head_cap) - 1
+                kcut = key_s[jnp.maximum(last, 0)]
+                head_cut = jnp.where(counts > head_cap, kcut - 1, kcut)
+                head_cut = jnp.where(counts > 0, head_cut, t_max)
+                ub = searchsorted_i32(key_s, head_cut + 1)
+                head_counts = ub - starts_q
+                prune_cut = head_cut
+                tile_pruned = head_counts < counts
     else:
         tid = jnp.concatenate(tids)
         # Two-key sort (tile id, splat index): `proj` is pre-permuted into
@@ -414,10 +455,14 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         compact_dropped = None
         prune_underkeep = None
         tile_pruned = None
+        prune_cut = None
+        head_counts = None
+        big_ids = None
     return TileBinning(pair_splat=splat_s, pair_tile=tid_s,
                        compact_dropped=compact_dropped,
                        prune_underkeep=prune_underkeep,
-                       tile_pruned=tile_pruned,
+                       tile_pruned=tile_pruned, prune_cut=prune_cut,
+                       head_counts=head_counts, big_ids=big_ids,
                        tile_start=tile_start, overflowed=overflowed)
 
 

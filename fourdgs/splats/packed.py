@@ -122,3 +122,38 @@ def slice4d(params: Dict[str, jax.Array], cov4, t, min_opacity=0.0):
     sort_mz = params["pz"] + c23 * dt
     return (mx, my, mz, (s00, s01, s02, s11, s12, s22), opacity,
             (sort_mx, sort_my, sort_mz))
+
+
+def morton_order(params: Dict[str, jax.Array], bits: int = 10):
+    """Reorder a packed scalar-SoA parameter dict by the 3D Morton
+    (Z-order) code of splat position — a ONE-TIME scene-build step
+    (mirroring the reference's one-time init() work, Scenes.h:226-287).
+
+    Spatially adjacent splats become adjacent in memory, which gives the
+    streaming banded-OIT tail compositor (ops/tail_pallas.py) screen-tile
+    locality for ANY camera: its per-chunk tile windows then cover each
+    chunk with ~1 pass (measured 49 ms vs 562 ms for random order at the
+    10M bench). Rendering is correct for any order; this is purely a
+    performance layout. Long-running fits that drift positions can re-run
+    it between jitted phases (it changes no values, only order).
+    """
+    px, py, pz = params["px"], params["py"], params["pz"]
+
+    def q(x):
+        lo = jnp.min(x)
+        span = jnp.maximum(jnp.max(x) - lo, 1e-12)
+        return jnp.clip((x - lo) / span * (1 << bits), 0,
+                        (1 << bits) - 1).astype(jnp.uint32)
+
+    def spread(v):
+        # Interleave: insert two zero bits between each of the 10 bits.
+        v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+        v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+        v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+        v = (v | (v << 2)) & jnp.uint32(0x09249249)
+        return v
+
+    code = (spread(q(px)) | (spread(q(py)) << 1)
+            | (spread(q(pz)) << 2)).astype(jnp.int32)
+    order = jnp.argsort(code)
+    return {k: v[order] for k, v in params.items()}

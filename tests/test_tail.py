@@ -1,0 +1,117 @@
+"""Streaming banded-OIT tail kernel (ops/tail_pallas.py): kernel-vs-twin
+equivalence in interpret mode, band/rect prepass properties, and the
+band-combine math. Compiled execution is certified on-chip by
+validate_kernels.py (tail entries in KERNELCHECK.json)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fourdgs.ops import tail_pallas as TP
+
+
+def _fixture(n=3000, nx=6, ny=10, k_bands=3, chunk=256, budget=3, seed=0):
+    rng = np.random.default_rng(seed)
+    tx0 = rng.integers(0, nx, n).astype(np.int32)
+    ty0 = rng.integers(0, ny, n).astype(np.int32)
+    tx1 = np.minimum(tx0 + rng.integers(0, 3, n), nx - 1).astype(np.int32)
+    ty1 = np.minimum(ty0 + rng.integers(0, 3, n), ny - 1).astype(np.int32)
+    alive = rng.random(n) > 0.2
+    dbits = rng.integers(0, 1 << 20, n).astype(np.int32)
+    fields = np.zeros((10, n), np.float32)
+    fields[0] = rng.normal(0, 0.5, n)      # sx (k units)
+    fields[1] = rng.normal(0, 0.5, n)
+    th = rng.uniform(0, 2 * np.pi, n)
+    fields[2] = np.cos(th)
+    fields[3] = np.sin(th)
+    fields[4] = 1.0 / rng.uniform(0.05, 0.4, n)
+    fields[5] = 1.0 / rng.uniform(0.05, 0.4, n)
+    fields[6:9] = rng.uniform(0, 1, (3, n))
+    fields[9] = rng.uniform(0, 0.95, n)
+    cut = ((np.arange(nx * ny, dtype=np.int32) << 20)
+           | rng.integers(0, 1 << 20, nx * ny).astype(np.int32))
+    # k-unit affine sample params: arbitrary but consistent.
+    params_row = np.array([0.22, 0.028, -0.9, -0.18, -0.04, 0.8,
+                           1e-4, 2e-4], np.float32)
+    meta = TP.tail_meta(jnp.asarray(alive), jnp.asarray(tx0),
+                        jnp.asarray(tx1), jnp.asarray(ty0),
+                        jnp.asarray(ty1), jnp.asarray(dbits),
+                        0, budget, chunk)
+    npad = meta.shape[1]
+    f = jnp.asarray(np.pad(fields, ((0, 0), (0, npad - n))))
+    steps = npad // chunk
+    band = jnp.asarray(rng.integers(0, k_bands, steps).astype(np.int32))
+    band_np, rect = TP.step_bands_rects(
+        meta, chunk, jnp.asarray(np.sort(
+            rng.integers(-(1 << 20), 0, k_bands - 1)).astype(np.int32)))
+    return dict(fields=f, meta=meta, band=band, rect=rect,
+                cut=jnp.asarray(cut), params_row=jnp.asarray(params_row),
+                k_bands=k_bands, nx=nx, ny=ny, chunk=chunk, budget=budget)
+
+
+@pytest.mark.parametrize("s_cy,s_cx", [(4, 16), (2, 8)])
+def test_tail_kernel_matches_twin(s_cy, s_cx):
+    fx = _fixture()
+    kw = {k: fx[k] for k in ("k_bands", "nx", "ny", "chunk", "budget")}
+    got = TP.tail_accumulate(fx["fields"], fx["meta"], fx["band"],
+                             fx["rect"], fx["cut"], fx["params_row"],
+                             s_cy=s_cy, s_cx=s_cx, interpret=True, **kw)
+    want = TP.tail_accumulate_xla(fx["fields"], fx["meta"], fx["band"],
+                                  fx["rect"], fx["cut"], fx["params_row"],
+                                  s_cy=s_cy, s_cx=s_cx, **kw)
+    # Kernel matmul inputs are bf16 (f32-accumulated): ~0.4% relative
+    # quantization vs the f32 twin is the expected envelope.
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=5e-3, atol=5e-3)
+    # Nontrivial fixture: something actually accumulated.
+    assert float(jnp.sum(jnp.abs(got))) > 1.0
+
+
+def test_rect_covers_all_live_tiles():
+    fx = _fixture(seed=3)
+    meta = np.asarray(fx["meta"])
+    rect = np.asarray(fx["rect"])
+    chunk = fx["chunk"]
+    tx0, tx1, ty0, ty1, _, span = meta
+    for s in range(rect.shape[0]):
+        sl = slice(s * chunk, (s + 1) * chunk)
+        live = span[sl] > 0
+        if not live.any():
+            continue
+        txw, tyw, nwx, nwy = rect[s]
+        assert tyw % 8 == 0
+        assert txw <= tx0[sl][live].min()
+        assert tx1[sl][live].max() < txw + nwx * TP.WIN_TX
+        assert tyw <= ty0[sl][live].min()
+        assert ty1[sl][live].max() < tyw + nwy * TP.WIN_TY
+
+
+def test_band_cuts_order_and_combine():
+    # global_band_cuts: nearest pairs (largest dbits) must land in band 0.
+    rng = np.random.default_rng(0)
+    dbits = rng.integers(0, 1 << 20, 5000).astype(np.int32)
+    keys = (rng.integers(0, 100, 5000).astype(np.int32) << 20) | dbits
+    keys[:500] = np.iinfo(np.int32).max          # dead
+    cuts = TP.global_band_cuts(jnp.asarray(keys), 4)
+    assert np.all(np.diff(np.asarray(cuts)) >= 0)
+    near = np.searchsorted(np.asarray(cuts), -int(dbits.max()),
+                           side="right")
+    far = np.searchsorted(np.asarray(cuts), -int(dbits[dbits > 0].min()),
+                          side="right")
+    assert near == 0 and far == 3
+
+    # combine: one band, uniform alpha a over m pairs at one sample ->
+    # transmittance (1-a)^m exactly; color -> c * (1 - (1-a)^m).
+    a, m, c = 0.1, 7, 0.6
+    A = a * m
+    L = np.log1p(-a) * m
+    planes = jnp.asarray([[A, A * c, A * c, A * c, a * A, L]],
+                         jnp.float32)  # (tiles=1, planes) at 1 sample
+    rgb, alpha, trans = TP.combine_bands(
+        planes.reshape(1, 1, 6, 1))     # (T, K, planes, S)
+    np.testing.assert_allclose(float(trans[0, 0]), (1 - a) ** m, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(rgb[0, :, 0]),
+                               c * (1 - (1 - a) ** m), rtol=1e-5)
+    np.testing.assert_allclose(float(alpha[0, 0]),
+                               a * (1 - (1 - a) ** m), rtol=1e-5)
