@@ -73,7 +73,7 @@ def bench_setup():
     height = int(os.environ.get("FOURDGS_BENCH_HEIGHT", 1088))  # 1080p, tile-padded
     backend = os.environ.get("FOURDGS_BENCH_BACKEND", "pallas")
     reps = int(os.environ.get("FOURDGS_BENCH_REPS", 10))
-    slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 512))
+    slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 384))
     passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
     tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
     budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
@@ -83,14 +83,16 @@ def bench_setup():
     sort_backend = os.environ.get("FOURDGS_BENCH_SORT", "xla")
     compact_backend = os.environ.get("FOURDGS_BENCH_COMPACT_BACKEND", "pallas")
     row_len = int(os.environ.get("FOURDGS_BENCH_ROWLEN", 512))
-    prune = int(os.environ.get("FOURDGS_BENCH_PRUNE", 3072))  # 0=off else cap
+    prune = int(os.environ.get("FOURDGS_BENCH_PRUNE", 384))  # 0=off else cap
     fraction = float(os.environ.get("FOURDGS_BENCH_FRACTION", 0.34))
     schedule = tuple(int(x) for x in os.environ.get(
-        "FOURDGS_BENCH_SCHEDULE", "2560").split(",") if x)
-    tail = os.environ.get("FOURDGS_BENCH_TAIL", "off")   # off | banded
+        "FOURDGS_BENCH_SCHEDULE",
+        "" if os.environ.get("FOURDGS_BENCH_TAIL", "banded") == "banded"
+        else "2560").split(",") if x)
+    tail = os.environ.get("FOURDGS_BENCH_TAIL", "banded")  # off | banded
     tail_bands = int(os.environ.get("FOURDGS_BENCH_TAIL_BANDS", 8))
     tail_block = tuple(int(x) for x in os.environ.get(
-        "FOURDGS_BENCH_TAIL_BLOCK", "8,8").split(","))
+        "FOURDGS_BENCH_TAIL_BLOCK", "8,16").split(","))
     tail_chunk = int(os.environ.get("FOURDGS_BENCH_TAIL_CHUNK", 2048))
     prune_safety = float(os.environ.get("FOURDGS_BENCH_PRUNE_SAFETY",
                                         1.2 if tail == "banded" else 2.0))
@@ -195,15 +197,20 @@ def main() -> int:
     resid = float(aux.get("resid_transmittance", 0.0))
     # Actual composited depth cap: slab + per-pass schedule sizes when a
     # schedule is set, else slab * uniform passes (ADVICE r3: the printed
-    # cap must track the real config, not the env default).
-    depth_cap = slab + (sum(schedule) if schedule else slab * (passes - 1))
+    # cap must track the real config, not the env default). With the
+    # banded tail there IS no cap: every pair beyond the exact head is
+    # composited by the streaming tail.
+    if env["tail"] == "banded":
+        depth_cap = "none: tail-converged"
+    else:
+        depth_cap = f"{slab + (sum(schedule) if schedule else slab * (passes - 1)):,}" 
     print(f"# compile {compile_s:.1f}s, best frame {best*1000:.1f}ms, "
           f"{n / best / 1e6:.1f}M splats/s, mean rgb "
           f"{float(jnp.mean(img[..., :3])):.4f}, pair-budget overflow "
           f"{overflow}, compact dropped {dropped}, prune underkeep "
           f"{underkeep}, trunc resid {resid:.2e}, live pairs "
           f"{live_pairs:,}, deepest tile "
-          f"{max_tile_pairs:,} (composited depth cap {depth_cap:,})",
+          f"{max_tile_pairs:,} (composited depth cap {depth_cap})",
           file=sys.stderr)
     print(json.dumps(result))
     return 0

@@ -306,6 +306,16 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
             bkey = jnp.where(is_big, iota, dead)
             ids, _, big_dropped = compact_pairs(bkey, bkey, dead,
                                                 big_splat_keep_cols)
+            # Second-level compaction: the first pass's capacity scales
+            # with N (rows x keep = ~156K at 10M splats) but every
+            # downstream cost — the stacked field gathers here and in the
+            # tail's big stream — scales with CAPACITY, and the actual
+            # big population is tiny (795 at the 10M bench; ~25 ns per
+            # gather index x 200x dead slots was ~9 ms/frame). Drops are
+            # loud (overflowed), zero in practice.
+            ids, _, big_dropped2 = compact_pairs(ids, ids, dead,
+                                                 4 * big_splat_keep_cols)
+            big_dropped = big_dropped + big_dropped2
             blive = ids != dead
             safe = jnp.minimum(ids, n - 1)
             # ONE stacked gather for every per-splat field the big tier

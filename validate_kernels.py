@@ -170,9 +170,9 @@ def check_pipeline(deepening: bool):
                            orientation=(-1.0, -0.7, -1.0),
                            far=5000.0, width=512, height=256)
     kw = dict(tile_h=8, tile_w=128, max_tiles_per_splat=8, splat_chunk=64)
-    slab = 64 if deepening else 256
+    slab = 128 if deepening else 256   # deepest tile ~149 > 128: real work
     cfg_p = RenderConfig(backend="pallas", **kw, max_splats_per_tile=slab,
-                         deepening_passes=4 if deepening else 1,
+                         deepening_passes=3 if deepening else 1,
                          deepening_fraction=1.0)
     cfg_x = RenderConfig(backend="xla", **kw, max_splats_per_tile=768)
 
@@ -274,6 +274,61 @@ def check_sort():
     return res
 
 
+def check_tail_parity():
+    """Mid-scale on-chip parity gate (VERDICT r3 #7): ~1M splats through
+    the FULL production stack — quantized sort, prune + post-sort re-cut,
+    Pallas head, streaming banded-OIT tail — against an exhaustively
+    deepened exact composite of the same scene. Closes the certification
+    gap between test_parity (20K, CPU) and the 10M bench: the banded
+    tail's approximation (coarse sampling + within-band OIT mixing) is
+    REAL error and this measures it where an exact reference is still
+    computable. The exact reference must itself report ~zero residual
+    transmittance or the gate is invalid."""
+    import jax
+    import jax.numpy as jnp
+    from bench import build_cube_scene
+    from fourdgs.core.camera import Camera
+    from fourdgs.render.pipeline import RenderConfig, render_params4d_packed
+    from fourdgs.splats.packed import morton_order
+
+    n = 1_000_000
+    params = morton_order(build_cube_scene(n, seed=2))
+    cam = Camera.create(position=(420.0, 300.0, 420.0),
+                        orientation=(-1.0, -0.7, -1.0),
+                        far=5000.0, width=1024, height=512)
+    kw = dict(tile_h=16, tile_w=128, max_tiles_per_splat=8,
+              splat_chunk=128, big_splat_budget=16)
+    cfg_exact = RenderConfig(backend="pallas", **kw,
+                             max_splats_per_tile=512,
+                             quantized_depth_sort=True,
+                             deepening_fraction=1.0, deepening_passes=80)
+    cfg_tail = RenderConfig(backend="pallas", **kw,
+                            max_splats_per_tile=384,
+                            quantized_depth_sort=True,
+                            depth_prune_cap=384, depth_prune_safety=1.2,
+                            deepening_fraction=1.0,
+                            tail_mode="banded", tail_bands=8,
+                            tail_block=(8, 16))
+    img_x, aux_x = jax.jit(lambda p: render_params4d_packed(
+        p, cam, 0.0, cfg=cfg_exact, return_aux=True))(params)
+    img_t, aux_t = jax.jit(lambda p: render_params4d_packed(
+        p, cam, 0.0, cfg=cfg_tail, return_aux=True))(params)
+    ix = np.asarray(img_x)[..., :3]
+    it = np.asarray(img_t)[..., :3]
+    d = np.abs(it - ix)
+    return dict(
+        n=n,
+        exact_resid=float(aux_x["resid_transmittance"]),
+        tail_resid=float(aux_t["resid_transmittance"]),
+        mean_rgb_exact=float(ix.mean()),
+        mean_rgb_tail=float(it.mean()),
+        mean_rel_err=float(abs(it.mean() - ix.mean()) / max(ix.mean(), 1e-6)),
+        mean_abs_err=float(d.mean()),
+        p99_abs_err=float(np.percentile(d, 99)),
+        max_abs_err=float(d.max()),
+    )
+
+
 def main() -> int:
     # f64 references from a clean CPU/x64 subprocess (x64 mode cannot
     # coexist in-process with the i32-indexed compiled kernel).
@@ -292,6 +347,7 @@ def main() -> int:
         "pipeline_single": check_pipeline(False),
         "pipeline_deepening": check_pipeline(True),
         "sort": check_sort(),
+        "tail_parity_1m": check_tail_parity(),
     }
     ok = True
     for k in ("records_8x128", "records_16x128"):
@@ -320,6 +376,17 @@ def main() -> int:
     ok &= results["pipeline_deepening"]["deepening_nonvacuous"]
     for k, v in results["sort"].items():
         ok &= (v == 0) if k == "rowsort_dropped" else bool(v)
+    # Mid-scale full-stack parity (the banded-OIT tail's honest error
+    # envelope, measured where an exact reference is computable):
+    # the exact reference must be genuinely exhausted; the tail must drop
+    # nothing; the aggregate image must track the exact one (the local
+    # p99/max errors are the quantified cost of within-band OIT mixing on
+    # opaque-core splats — recorded, not gated; see BASELINE.md).
+    tp = results["tail_parity_1m"]
+    ok &= tp["exact_resid"] < 1e-3
+    ok &= tp["tail_resid"] < 1e-6
+    ok &= tp["mean_rel_err"] < 0.02
+    ok &= tp["mean_abs_err"] < 0.03
     results["pass"] = bool(ok)
     with open("KERNELCHECK.json", "w") as f:
         json.dump(results, f, indent=1)
