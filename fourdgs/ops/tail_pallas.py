@@ -158,13 +158,17 @@ def combine_bands(acc):
     (Ar..)/A scaled by its absorbed fraction (1 - tau_k); the alpha channel
     uses A2/A matching the head kernel's sum(alpha^2 T) semantics. Bands
     composite in order under the exclusive running transmittance."""
-    a_sum = jnp.maximum(acc[:, :, _P_A], 1e-20)          # (T, K, S)
+    # AD-safe empty-band handling: 0/eps is fine forward but its VJP is
+    # inf * 0 = NaN; divide by a where-guarded denominator and zero the
+    # result through the mask instead.
+    has = acc[:, :, _P_A] > 0.0                          # (T, K, S)
+    a_safe = jnp.where(has, acc[:, :, _P_A], 1.0)
     tau = jnp.exp(acc[:, :, _P_L])
     w = 1.0 - tau
     t_run = jnp.cumprod(tau, axis=1)
     t_excl = jnp.concatenate(
         [jnp.ones_like(t_run[:, :1]), t_run[:, :-1]], axis=1)
-    wgt = t_excl * w / a_sum                              # (T, K, S)
+    wgt = jnp.where(has, t_excl * w / a_safe, 0.0)        # (T, K, S)
     rgb = jnp.einsum("tks,tcks->tcs", wgt,
                      acc[:, :, _P_AR:_P_AB + 1].transpose(0, 2, 1, 3))
     alpha = jnp.sum(wgt * acc[:, :, _P_A2], axis=1)
@@ -390,7 +394,8 @@ def tail_accumulate(fields, meta, band, rect, cut, params_row,
                     k_bands: int, nx: int, ny: int, chunk: int,
                     budget: int, s_cy: int, s_cx: int,
                     interpret: bool | None = None):
-    """Run the streaming tail kernel.
+    """Run the streaming tail kernel (differentiable w.r.t. `fields`
+    through the hand-written backward kernel below).
 
     fields (10, Np) f32; meta (6, Np) i32 (Np a multiple of chunk);
     band (S,) i32; rect (S, 4) i32; cut (T,) i32; params_row (8,) f32.
@@ -398,6 +403,12 @@ def tail_accumulate(fields, meta, band, rect, cut, params_row,
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    return _tail_core(fields, meta, band, rect, cut, params_row, k_bands,
+                      nx, ny, chunk, budget, s_cy, s_cx, interpret)
+
+
+def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
+                  ny, chunk, budget, s_cy, s_cx, interpret):
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
     if fields.shape[1] != npts:
@@ -511,3 +522,315 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
             ox = jnp.where(wrap, 0, ox + 1)
             oy = jnp.where(wrap, oy + 1, oy)
     return acc
+
+
+# ---------------------------------------------------------------------------
+# backward kernel (custom VJP): d(acc)/d(fields)
+# ---------------------------------------------------------------------------
+#
+# Mirrors the forward stream exactly — same chunks, same slot walk, same
+# sub-block evaluation — with the one-hot matmuls TRANSPOSED: per slot the
+# window passes scatter the upstream cotangent d_acc back onto pairs
+# (d_planes = onehot^T @ d_acc_window), then the per-sample chain rule
+# accumulates field cotangents. Zero sorting, zero gathers, like the
+# forward; cost ~2x forward (recompute + chain).
+
+def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
+                     params_ref, cut_ref, fields_ref, meta_ref, dacc_ref,
+                     df_ref, dpl_ref, *, chunk: int, budget: int, nx: int,
+                     ny_pad: int, s_cy: int, s_cx: int, rows_per_band: int):
+    g = pl.program_id(0)
+    n_samp = s_cy * s_cx
+
+    df_ref[...] = jnp.zeros(df_ref.shape, df_ref.dtype)
+
+    band = band_ref[g]
+    txw0 = txw_ref[g]
+    tyw0 = tyw_ref[g]
+    nwx = nwx_ref[g]
+    nwy = nwy_ref[g]
+
+    kx_t = params_ref[0, 0]
+    kx_j = params_ref[0, 1]
+    kx_0 = params_ref[0, 2]
+    ky_t = params_ref[0, 3]
+    ky_j = params_ref[0, 4]
+    ky_0 = params_ref[0, 5]
+    bx2 = params_ref[0, 6]
+    by2 = params_ref[0, 7]
+
+    jy = jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0) // s_cx
+    jx = jax.lax.broadcasted_iota(jnp.int32, (n_samp, 1), 0) % s_cx
+    kx_off = kx_j * jx.astype(jnp.float32) + kx_0
+    ky_off = ky_j * jy.astype(jnp.float32) + ky_0
+    rows_iota = jax.lax.broadcasted_iota(
+        jnp.int32, (WIN_TX * WIN_TY, 1), 0)
+
+    SUB = min(512, chunk)
+    for s in range(budget):
+        # Full-chunk pair tile/liveness (as in the forward).
+        mtx0 = meta_ref[0:1, :]
+        mtx1 = meta_ref[1:2, :]
+        mty0 = meta_ref[2:3, :]
+        mty1 = meta_ref[3:4, :]
+        nxs_c = jnp.maximum(mtx1 - mtx0 + 1, 1)
+        oy_c = s // nxs_c
+        ox_c = s - oy_c * nxs_c
+        live_c = (s < meta_ref[5:6, :]) & (oy_c <= mty1 - mty0)
+        tx_c = mtx0 + ox_c
+        ty_c = mty0 + oy_c
+        tid_c = ty_c * nx + tx_c
+        key_c = (tid_c << QUANT_DEPTH_BITS) | meta_ref[4:5, :]
+        hi3 = (tid_c >> 7).reshape(chunk // 128, 128)
+        lo3 = (tid_c & 127).reshape(chunk // 128, 128)
+        cutv = jnp.zeros((chunk // 128, 128), jnp.int32)
+        for h in range(CUT_ROWS):
+            rowb = jnp.broadcast_to(cut_ref[h:h + 1, :], (chunk // 128, 128))
+            got = jnp.take_along_axis(rowb, lo3, axis=1)
+            cutv = jnp.where(hi3 == h, got, cutv)
+        live_c = live_c & (key_c > cutv.reshape(1, chunk))
+
+        # d_planes scratch: scatter d_acc windows back to pairs.
+        dpl_ref[...] = jnp.zeros(dpl_ref.shape, dpl_ref.dtype)
+
+        def one_pass(ix, iy, live=live_c, tx=tx_c, ty=ty_c):
+            txw = txw0 + ix * WIN_TX
+            tyw = tyw0 + iy * WIN_TY
+            txl = tx - txw
+            tyl = ty - tyw
+            inw = live & (txl >= 0) & (txl < WIN_TX) \
+                & (tyl >= 0) & (tyl < WIN_TY)
+            row = jnp.where(inw, txl * WIN_TY + tyl, -1)
+            onehot = (rows_iota == row).astype(jnp.float32)   # (32, C)
+            base = band * rows_per_band + tyw
+
+            def dwin(col):
+                r0 = pl.multiple_of(base + (txw + col) * ny_pad, 8)
+                ok = txw + col < nx
+                blk = jnp.where(
+                    ok, dacc_ref[pl.ds(jnp.where(ok, r0, 0), WIN_TY), :],
+                    0.0)
+                return blk                                    # (16, 384)
+            d_win = jnp.concatenate([dwin(0), dwin(1)], axis=0)  # (32, 384)
+            # (6*n_samp, C) += d_win^T routed to pairs (f32 dot: the
+            # cotangent magnitudes matter more than the fwd planes).
+            dpl_ref[...] = dpl_ref[...] + jax.lax.dot_general(
+                d_win, onehot, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dpl_ref.dtype)
+
+        one_pass(0, 0)
+
+        @pl.when(nwy >= 2)
+        def _p2():
+            one_pass(0, 1)
+
+        @pl.when(nwx * nwy > 2)
+        def _rest():
+            def body(k, carry):
+                iy = k // nwx
+                ix = k - iy * nwx
+
+                @pl.when(jnp.logical_not((ix == 0) & (iy <= 1)))
+                def _go():
+                    one_pass(ix, iy)
+                return carry
+            jax.lax.fori_loop(0, nwx * nwy, body, 0)
+
+        # Sub-block chain rule: recompute the forward, apply cotangents.
+        for b0 in range(0, chunk, SUB):
+            sb = (slice(0, 1), slice(b0, b0 + SUB))
+            tx0 = meta_ref[(slice(0, 1), slice(b0, b0 + SUB))]
+            tx1 = meta_ref[(slice(1, 2), slice(b0, b0 + SUB))]
+            ty0 = meta_ref[(slice(2, 3), slice(b0, b0 + SUB))]
+            ty1 = meta_ref[(slice(3, 4), slice(b0, b0 + SUB))]
+            dbits = meta_ref[(slice(4, 5), slice(b0, b0 + SUB))]
+            span = meta_ref[(slice(5, 6), slice(b0, b0 + SUB))]
+            nx_span = jnp.maximum(tx1 - tx0 + 1, 1)
+            oy = s // nx_span
+            ox = s - oy * nx_span
+            live = (s < span) & (oy <= ty1 - ty0)
+            tx = tx0 + ox
+            ty = ty0 + oy
+            tid = ty * nx + tx
+            key = (tid << QUANT_DEPTH_BITS) | dbits
+            shi = (tid >> 7).reshape(SUB // 128, 128)
+            slo = (tid & 127).reshape(SUB // 128, 128)
+            scut = jnp.zeros((SUB // 128, 128), jnp.int32)
+            for h in range(CUT_ROWS):
+                rowb = jnp.broadcast_to(cut_ref[h:h + 1, :],
+                                        (SUB // 128, 128))
+                got = jnp.take_along_axis(rowb, slo, axis=1)
+                scut = jnp.where(shi == h, got, scut)
+            live = live & (key > scut.reshape(1, SUB))
+            livef = live.astype(jnp.float32)
+
+            sx = fields_ref[sb]
+            sy = fields_ref[(slice(1, 2), slice(b0, b0 + SUB))]
+            v0x = fields_ref[(slice(2, 3), slice(b0, b0 + SUB))]
+            v0y = fields_ref[(slice(3, 4), slice(b0, b0 + SUB))]
+            il0 = fields_ref[(slice(4, 5), slice(b0, b0 + SUB))]
+            il1 = fields_ref[(slice(5, 6), slice(b0, b0 + SUB))]
+            cr = fields_ref[(slice(6, 7), slice(b0, b0 + SUB))]
+            cg = fields_ref[(slice(7, 8), slice(b0, b0 + SUB))]
+            cb = fields_ref[(slice(8, 9), slice(b0, b0 + SUB))]
+            a_eff = fields_ref[(slice(9, 10), slice(b0, b0 + SUB))]
+
+            c0 = bx2 * v0x * v0x + by2 * v0y * v0y
+            c1 = bx2 * v0y * v0y + by2 * v0x * v0x
+            u0 = 1.0 + c0 * il0 * il0
+            u1 = 1.0 + c1 * il1 * il1
+            m0 = jax.lax.rsqrt(u0)
+            m1 = jax.lax.rsqrt(u1)
+            il0w = il0 * m0
+            il1w = il1 * m1
+            ga = livef * a_eff
+            gate = ga * (m0 * m1)
+
+            kxs = kx_t * tx.astype(jnp.float32) + kx_off
+            kys = ky_t * ty.astype(jnp.float32) + ky_off
+            dx = kxs - sx
+            dy = kys - sy
+            e0 = v0x * dx + v0y * dy
+            e1 = v0y * dx - v0x * dy
+            n0 = e0 * il0w
+            n1 = e1 * il1w
+            q = 64.0 * (n0 * n0 + n1 * n1)
+            w = jnp.exp(-0.5 * q)
+            aw = gate * w
+            alpha = jnp.minimum(jnp.where(w >= 1e-4, aw, 0.0), ALPHA_MAX)
+
+            dp = dpl_ref[:, b0:b0 + SUB]                 # (6*n_samp, SUB)
+            dA = dp[0 * n_samp:1 * n_samp]
+            dAr = dp[1 * n_samp:2 * n_samp]
+            dAg = dp[2 * n_samp:3 * n_samp]
+            dAb = dp[3 * n_samp:4 * n_samp]
+            dA2 = dp[4 * n_samp:5 * n_samp]
+            dL = dp[5 * n_samp:6 * n_samp]
+
+            d_alpha = (dA + dAr * cr + dAg * cg + dAb * cb
+                       + dA2 * 2.0 * alpha - dL / (1.0 - alpha))
+            live_d = ((w >= 1e-4) & (aw < ALPHA_MAX)).astype(jnp.float32)
+            d_aw = d_alpha * live_d
+            d_gate = jnp.sum(d_aw * w, axis=0, keepdims=True)   # (1, SUB)
+            dw = d_aw * gate
+            dq = dw * w * (-0.5)
+            dn0 = 128.0 * n0 * dq
+            dn1 = 128.0 * n1 * dq
+            d_dx = dn0 * v0x * il0w + dn1 * v0y * il1w
+            d_dy = dn0 * v0y * il0w - dn1 * v0x * il1w
+            d_sx = -jnp.sum(d_dx, axis=0, keepdims=True)
+            d_sy = -jnp.sum(d_dy, axis=0, keepdims=True)
+            d_il0w = jnp.sum(dn0 * e0, axis=0, keepdims=True)
+            d_il1w = jnp.sum(dn1 * e1, axis=0, keepdims=True)
+            d_v0x_e = jnp.sum(dn0 * dx * il0w - dn1 * dy * il1w,
+                              axis=0, keepdims=True)
+            d_v0y_e = jnp.sum(dn0 * dy * il0w + dn1 * dx * il1w,
+                              axis=0, keepdims=True)
+            d_cr = jnp.sum(dAr * alpha, axis=0, keepdims=True)
+            d_cg = jnp.sum(dAg * alpha, axis=0, keepdims=True)
+            d_cb = jnp.sum(dAb * alpha, axis=0, keepdims=True)
+            d_a_eff = d_gate * livef * m0 * m1
+            # Mass-preserving-widening chain: il_w = il * m,
+            # m = rsqrt(1 + c il^2), gate scales with m0 m1.
+            d_m0 = d_il0w * il0 + d_gate * ga * m1
+            d_m1 = d_il1w * il1 + d_gate * ga * m0
+            d_u0 = d_m0 * (-0.5) * m0 * m0 * m0
+            d_u1 = d_m1 * (-0.5) * m1 * m1 * m1
+            d_il0 = d_il0w * m0 + d_u0 * 2.0 * c0 * il0
+            d_il1 = d_il1w * m1 + d_u1 * 2.0 * c1 * il1
+            d_c0 = d_u0 * il0 * il0
+            d_c1 = d_u1 * il1 * il1
+            d_v0x = d_v0x_e + 2.0 * v0x * (d_c0 * bx2 + d_c1 * by2)
+            d_v0y = d_v0y_e + 2.0 * v0y * (d_c0 * by2 + d_c1 * bx2)
+
+            dcols = jnp.concatenate([
+                d_sx, d_sy, d_v0x, d_v0y, d_il0, d_il1, d_cr, d_cg,
+                d_cb, d_a_eff], axis=0)                     # (10, SUB)
+            df_ref[:, b0:b0 + SUB] = df_ref[:, b0:b0 + SUB] + dcols
+
+
+def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
+              k_bands: int, nx: int, ny: int, chunk: int, budget: int,
+              s_cy: int, s_cx: int, interpret: bool):
+    n_samp = s_cy * s_cx
+    npts = meta.shape[1]
+    n_fields = fields.shape[1]
+    if n_fields != npts:
+        fields = jnp.pad(fields, ((0, 0), (0, npts - n_fields)))
+    steps = npts // chunk
+    ny_pad = _ceil_to(ny + WIN_TY, 8)
+    rows_per_band = nx * ny_pad
+    rows = k_bands * rows_per_band
+    tbl = jnp.concatenate(
+        [cut.astype(jnp.int32),
+         jnp.full((CUT_ROWS * 128 - cut.shape[0],),
+                  jnp.iinfo(jnp.int32).max, jnp.int32)]).reshape(CUT_ROWS,
+                                                                 128)
+    params = jnp.zeros((8, 128), jnp.float32)
+    params = params.at[0, :8].set(params_row)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(steps,),
+        in_specs=[
+            pl.BlockSpec((8, 128), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((CUT_ROWS, 128), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((10, chunk), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((6, chunk), lambda g, *_: (0, g),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, N_PLANES * n_samp), lambda g, *_: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((10, chunk), lambda g, *_: (0, g),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((N_PLANES * n_samp, chunk),
+                                   jnp.float32)],
+    )
+    kern = functools.partial(
+        _tail_bwd_kernel, chunk=chunk, budget=budget, nx=nx, ny_pad=ny_pad,
+        s_cy=s_cy, s_cx=s_cx, rows_per_band=rows_per_band)
+    df = pl.pallas_call(
+        kern,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((10, npts), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(band, rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
+      params, tbl, fields, meta, d_acc)
+    return df[:, :n_fields]
+
+
+def _float0_like(x):
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11,
+                                                    12, 13))
+def _tail_core(fields, meta, band, rect, cut, params_row, k_bands, nx, ny,
+               chunk, budget, s_cy, s_cx, interpret):
+    return _tail_fwd_raw(fields, meta, band, rect, cut, params_row,
+                         k_bands, nx, ny, chunk, budget, s_cy, s_cx,
+                         interpret)
+
+
+def _tail_core_fwd(fields, meta, band, rect, cut, params_row, k_bands, nx,
+                   ny, chunk, budget, s_cy, s_cx, interpret):
+    acc = _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands,
+                        nx, ny, chunk, budget, s_cy, s_cx, interpret)
+    return acc, (fields, meta, band, rect, cut, params_row)
+
+
+def _tail_core_bwd(k_bands, nx, ny, chunk, budget, s_cy, s_cx, interpret,
+                   res, d_acc):
+    fields, meta, band, rect, cut, params_row = res
+    df = _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
+                   k_bands, nx, ny, chunk, budget, s_cy, s_cx, interpret)
+    return (df, _float0_like(meta), _float0_like(band), _float0_like(rect),
+            _float0_like(cut), jnp.zeros_like(params_row))
+
+
+_tail_core.defvjp(_tail_core_fwd, _tail_core_bwd)

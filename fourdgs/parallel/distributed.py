@@ -292,9 +292,20 @@ def render_splats4d_sharded_alltoall(
         send_budget: int | None = None, return_aux: bool = False):
     """Sharded forward render via the all_to_all distributed sort. `splats`
     arrays are sharded along axis 0 over the FLATTENED mesh (every device
-    projects its own 1/n_dev of the splats)."""
+    projects its own 1/n_dev of the splats).
+
+    Beyond the alltoall route's 11-bit tile-id budget (>= 2047 tiles, e.g.
+    4K) this falls back to the allgather-exchange sharded render
+    (VERDICT r3 #4: used to refuse): identical image, per-device sort
+    O(P_total) instead of O(P_total/n_dev)."""
     n_dev = mesh.shape[DATA_AXIS] * mesh.shape[TILE_AXIS]
     ny, nx = tile_grid(camera.width, camera.height, cfg.tile_h, cfg.tile_w)
+    if ny * nx >= (1 << 11) - 1:
+        img = render_splats4d_sharded(splats, camera, t, mesh,
+                                      min_opacity=min_opacity, cfg=cfg)
+        if return_aux:
+            return img, {"exchange_fallback": jnp.int32(1)}
+        return img
     tiles_per_device = -(-ny * nx // n_dev)
     if send_budget is None:
         send_budget = default_send_budget(splats.count, n_dev,
@@ -399,6 +410,12 @@ def make_sharded_loss(camera: Camera, mesh: Mesh,
     h, w = camera.height, camera.width
     th, tw = cfg.tile_h, cfg.tile_w
     assert exchange in ("allgather", "alltoall"), exchange
+    if exchange == "alltoall" and ny * nx >= (1 << 11) - 1:
+        # The alltoall route packs tile ids into 11 bits; beyond 2047
+        # tiles (4K) fall back to the allgather exchange instead of
+        # refusing (VERDICT r3 #4). Correctness is identical; per-device
+        # sort cost is O(P_total) instead of O(P_total/n_dev).
+        exchange = "allgather"
 
     def tiles_of(img):
         """(H, W, 4) -> (ny*nx, P, 4) tile view, padded to tt_pad."""

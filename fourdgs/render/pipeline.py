@@ -227,57 +227,88 @@ def render_projected(proj: Projected, camera: Camera,
     w, h = camera.width, camera.height
 
     ny0, nx0 = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
-    use_quant = cfg.quantized_depth_sort and (ny0 * nx0 < (1 << 11) - 1)
+    tile_limit = (1 << 11) - 1
+    use_quant = cfg.quantized_depth_sort
     if not use_quant:
         order = front_to_back_order(proj.depth)
         proj = jax.tree_util.tree_map(lambda a: a[order], proj)
-    # named_scope markers segment jax.profiler traces by pipeline stage.
-    with jax.named_scope("bin_sort"):
-        binning = bin_splats(proj, p00, p11, w, h,
-                             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
-                             max_tiles_per_splat=cfg.max_tiles_per_splat,
-                             quantized_depth=use_quant,
-                             compact_keep_cols=(cfg.sort_compact_keep_cols
-                                                if use_quant else 0),
-                             big_splat_budget=cfg.big_splat_budget,
-                             big_splat_keep_cols=cfg.big_splat_keep_cols,
-                             pallas_sort=(cfg.sort_backend == "pallas"),
-                             pallas_compact=(cfg.compact_backend == "pallas"),
-                             compact_row_len=cfg.compact_row_len,
-                             depth_prune_cap=cfg.depth_prune_cap,
-                             depth_prune_safety=cfg.depth_prune_safety,
-                             head_cap=(cfg.max_splats_per_tile
-                                       if cfg.tail_mode == "banded" else 0))
+
+    # Tile-row banding: the quantized key packs an 11-bit tile id; images
+    # beyond 2047 tiles (4K at 16x128 = 4050) render as ceil-split bands
+    # of tile rows, each band running the whole fast path with
+    # band-relative ids (VERDICT r3 #4: the path used to refuse and fall
+    # back to the ~1 s exact sort).
+    if use_quant and ny0 * nx0 >= tile_limit:
+        rows_per_band = max(1, tile_limit // nx0)
+        n_bands = -(-ny0 // rows_per_band)
+    else:
+        rows_per_band, n_bands = ny0, 1
+
     px, py, _ = tile_pixel_ndc(w, h, cfg.tile_h, cfg.tile_w, dtype)
     bg = jnp.asarray(cfg.background, dtype)
 
-    counts = binning.tile_start[1:] - binning.tile_start[:-1]
-    with jax.named_scope("composite"):
-        if cfg.backend == "pallas":
-            tiles, resid = _composite_pallas_progressive(
-                proj, binning, px, py, p00, p11, bg, cfg, return_resid=True,
-                image_size=(w, h))
-        else:
-            ny, nx = tile_grid(w, h, cfg.tile_h, cfg.tile_w)
-            tile_splat, tile_live = _gather_tile_lists(proj, binning, cfg,
-                                                       ny * nx)
-            tiles, t_fin = _composite_tiles_xla(
-                proj, tile_splat, tile_live, px, py, p00, p11, bg,
-                cfg.splat_chunk, return_resid=True)
-            truncated = counts > cfg.max_splats_per_tile
-            if binning.tile_pruned is not None:
-                # Pairs dropped by the depth prune are truncation error too:
-                # a pruned tile reports its residual even when the kept list
-                # fits the capacity exactly (ADVICE r3: boundary gap).
-                truncated = truncated | binning.tile_pruned
-            resid = t_fin * truncated[:, None]
+    band_tiles, band_resid, band_aux = [], [], []
+    for b in range(n_bands):
+        lo_row = b * rows_per_band
+        nb = min(rows_per_band, ny0 - lo_row)
+        band = None if n_bands == 1 else (lo_row, nb)
+        # named_scope markers segment jax.profiler traces by stage.
+        with jax.named_scope("bin_sort"):
+            binning = bin_splats(
+                proj, p00, p11, w, h,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                max_tiles_per_splat=cfg.max_tiles_per_splat,
+                quantized_depth=use_quant,
+                compact_keep_cols=(cfg.sort_compact_keep_cols
+                                   if use_quant else 0),
+                big_splat_budget=cfg.big_splat_budget,
+                big_splat_keep_cols=cfg.big_splat_keep_cols,
+                pallas_sort=(cfg.sort_backend == "pallas"),
+                pallas_compact=(cfg.compact_backend == "pallas"),
+                compact_row_len=cfg.compact_row_len,
+                depth_prune_cap=cfg.depth_prune_cap,
+                depth_prune_safety=cfg.depth_prune_safety,
+                head_cap=(cfg.max_splats_per_tile
+                          if cfg.tail_mode == "banded" else 0),
+                tile_row_band=band)
+        px_b = px[lo_row * nx0:(lo_row + nb) * nx0]
+        py_b = py[lo_row * nx0:(lo_row + nb) * nx0]
+        counts = binning.tile_start[1:] - binning.tile_start[:-1]
+        with jax.named_scope("composite"):
+            if cfg.backend == "pallas":
+                tiles, resid = _composite_pallas_progressive(
+                    proj, binning, px_b, py_b, p00, p11, bg, cfg,
+                    return_resid=True, image_size=(w, h),
+                    tile_row_band=band)
+            else:
+                tile_splat, tile_live = _gather_tile_lists(
+                    proj, binning, cfg, nb * nx0)
+                tiles, t_fin = _composite_tiles_xla(
+                    proj, tile_splat, tile_live, px_b, py_b, p00, p11, bg,
+                    cfg.splat_chunk, return_resid=True)
+                truncated = counts > cfg.max_splats_per_tile
+                if binning.tile_pruned is not None:
+                    # Pairs dropped by the depth prune are truncation
+                    # error too: a pruned tile reports its residual even
+                    # when the kept list fits the capacity exactly
+                    # (ADVICE r3: boundary gap).
+                    truncated = truncated | binning.tile_pruned
+                resid = t_fin * truncated[:, None]
+        band_tiles.append(tiles)
+        band_resid.append(jnp.max(resid))
+        band_aux.append((binning, counts))
+
+    tiles = (band_tiles[0] if n_bands == 1
+             else jnp.concatenate(band_tiles, axis=0))
     img = assemble_image(tiles, w, h, cfg.tile_h, cfg.tile_w)
     if not return_aux:
         return img
+    binnings = [b for b, _ in band_aux]
     aux = {
-        "overflowed": binning.overflowed,          # splats past pair budget
-        "live_pairs": binning.tile_start[-1],      # total emitted pairs
-        "max_tile_pairs": jnp.max(counts),         # deepest tile's pairs
+        "overflowed": sum(b.overflowed for b in binnings),
+        "live_pairs": sum(b.tile_start[-1] for b in binnings),
+        "max_tile_pairs": jnp.max(jnp.stack(
+            [jnp.max(c) for _, c in band_aux])),
         # Per-pixel error bound on tile-capacity truncation: the remaining
         # transmittance of any tile whose pair list was truncated bounds
         # the total contribution of every dropped pair (sum of dropped
@@ -285,19 +316,19 @@ def render_projected(proj: Projected, camera: Camera,
         # per-tile capacity; goldens assert this stays < tolerance so
         # binning/bbox changes cannot silently re-pin truncation artifacts
         # (round-2 regression: see VERDICT.md weak #1/#2).
-        "resid_transmittance": jnp.max(resid),
+        "resid_transmittance": jnp.max(jnp.stack(band_resid)),
     }
-    if binning.compact_dropped is not None:
-        aux["compact_dropped"] = binning.compact_dropped
-    if binning.prune_underkeep is not None:
-        aux["prune_underkeep"] = binning.prune_underkeep
+    if binnings[0].compact_dropped is not None:
+        aux["compact_dropped"] = sum(b.compact_dropped for b in binnings)
+    if binnings[0].prune_underkeep is not None:
+        aux["prune_underkeep"] = sum(b.prune_underkeep for b in binnings)
     return img, aux
 
 
 def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
                                   background, cfg: RenderConfig,
                                   return_resid: bool = False,
-                                  image_size=None):
+                                  image_size=None, tile_row_band=None):
     """Progressive-deepening composite (pallas backend; handles passes=1).
 
     Pass 1 composites every tile's nearest `max_splats_per_tile` splats.
@@ -344,41 +375,18 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     use_tail = (cfg.tail_mode == "banded"
                 and binning.prune_cut is not None)
     if use_tail:
-        # The head must composite its kept set EXHAUSTIVELY (the tail owns
-        # exactly {key > prune_cut}; anything the head leaves would be
-        # lost): deepen in while-loop slabs until every unsaturated tile
-        # has consumed its kept pairs. The static schedule is ignored.
-        def head_cond(state):
-            out_s, done_s = state
-            unsat = jnp.max(out_s[:, 4, :], axis=1) > 1e-6
-            return jnp.any(unsat & (counts_full - done_s > 0))
-
-        def head_body(state):
-            out_s, done_s = state
-            remaining = counts_full - done_s
-            unsat = jnp.max(out_s[:, 4, :], axis=1) > 1e-6
-            active = unsat & (remaining > 0)
-            order = jnp.argsort(-active.astype(jnp.int32), stable=True)
-            sel = order[:t_cap]
-            act = active[sel]
-            base = starts[sel] + done_s[sel]
-            rows = _gather_pair_rows(pair_pad, base, m)
-            off = done_s[sel][:, None] + arange_m[None, :]
-            live = act[:, None] & (off < counts_full[sel][:, None])
-            rec = pack_records(proj, rows, live, p00, p11)
-            cnt = jnp.where(act,
-                            jnp.clip(counts_full[sel] - done_s[sel], 0, m),
-                            0).astype(jnp.int32)
-            out2 = composite_records_at(rec, cnt, sel, kx, ky, out_s)
-            return out2, done_s.at[sel].add(jnp.where(act, cnt, 0))
-
-        with jax.named_scope("head_exhaust"):
-            out, pairs_done = jax.lax.while_loop(
-                head_cond, head_body, (out, pairs_done))
+        # The head owns exactly {key <= prune_cut}, and the post-sort
+        # tie-exclusive re-cut guarantees head_counts <= max_splats_per_
+        # tile — so pass 1 above already composited the ENTIRE head
+        # (pairs_done == counts_full for every tile; the resid reporting
+        # below would flag any violation loudly as truncation). No
+        # exhaust loop is needed, which also keeps the whole tail-mode
+        # forward free of lax.while_loop and therefore differentiable.
         with jax.named_scope("tail"):
             w_img, h_img = image_size
             out = _apply_banded_tail(out, proj, binning, p00, p11, cfg,
-                                     w_img, h_img)
+                                     w_img, h_img,
+                                     tile_row_band=tile_row_band)
         schedule = ()
     else:
         schedule = cfg.deepening_schedule or (m,) * (cfg.deepening_passes - 1)
@@ -433,7 +441,8 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
 
 
 def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
-                       cfg: RenderConfig, w: int, h: int):
+                       cfg: RenderConfig, w: int, h: int,
+                       tile_row_band=None):
     """Composite every pair beyond the per-tile prune cut into the carry.
 
     Streams the full splat set through the banded-OIT coarse tail kernel
@@ -450,6 +459,14 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
     dead = jnp.iinfo(jnp.int32).max
     alive, tx0, tx1, ty0, ty1 = splat_tile_bbox(
         proj, p00, p11, w, h, cfg.tile_h, cfg.tile_w)
+    ty_base = 0
+    if tile_row_band is not None:
+        # Band coordinates: mirror bin_splats' tile_row_band clip exactly
+        # so the tail's tile ids match the band-relative cut table.
+        ty_base, ny = tile_row_band
+        alive = alive & (ty1 >= ty_base) & (ty0 < ty_base + ny)
+        ty0 = jnp.clip(ty0 - ty_base, 0, ny - 1)
+        ty1 = jnp.clip(ty1 - ty_base, 0, ny - 1)
     dbits = quantized_depth_bits(proj.depth)
     fields = record_fields(proj, p00, p11)                 # (10, N)
     cut = binning.prune_cut
@@ -477,7 +494,9 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
     kx_0 = ((bx * 0.5) * 2.0 / w - 1.0) / p00
     ky_t = -(cfg.tile_h * 2.0 / h) / p11
     ky_j = -(by * 2.0 / h) / p11
-    ky_0 = (1.0 - (by * 0.5) * 2.0 / h) / p11
+    # Band tiles index from the band's first row: fold the band's global
+    # pixel offset into the constant term.
+    ky_0 = (1.0 - (ty_base * cfg.tile_h + by * 0.5) * 2.0 / h) / p11
     bx2 = (bx * 2.0 / w / p00) ** 2 / 12.0
     by2 = (by * 2.0 / h / p11) ** 2 / 12.0
     params_row = jnp.stack([kx_t, kx_j, kx_0, ky_t, ky_j, ky_0, bx2,

@@ -115,3 +115,33 @@ def test_band_cuts_order_and_combine():
                                c * (1 - (1 - a) ** m), rtol=1e-5)
     np.testing.assert_allclose(float(alpha[0, 0]),
                                a * (1 - (1 - a) ** m), rtol=1e-5)
+
+
+def test_tail_backward_matches_twin_ad():
+    """Hand-written tail backward kernel vs jax.grad through the XLA twin:
+    field cotangents must agree (the twin is plain jnp, so its AD is the
+    ground truth for the kernel's chain rule, including the
+    mass-preserving-widening terms)."""
+    fx = _fixture(n=1500, chunk=256, seed=4)
+    kw = {k: fx[k] for k in ("k_bands", "nx", "ny", "chunk", "budget")}
+    s_cy, s_cx = 2, 16
+    wts = jax.random.normal(jax.random.PRNGKey(3),
+                            (TP.N_PLANES * s_cy * s_cx,))
+
+    def loss_kernel(f):
+        acc = TP.tail_accumulate(f, fx["meta"], fx["band"], fx["rect"],
+                                 fx["cut"], fx["params_row"],
+                                 s_cy=s_cy, s_cx=s_cx, interpret=True, **kw)
+        return jnp.sum(acc * wts[None, :].reshape(1, -1))
+
+    def loss_twin(f):
+        acc = TP.tail_accumulate_xla(f, fx["meta"], fx["band"], fx["rect"],
+                                     fx["cut"], fx["params_row"],
+                                     s_cy=s_cy, s_cx=s_cx, **kw)
+        return jnp.sum(acc * wts[None, :].reshape(1, -1))
+
+    gk = np.asarray(jax.grad(loss_kernel)(fx["fields"]))
+    gt = np.asarray(jax.grad(loss_twin)(fx["fields"]))
+    scale = max(np.abs(gt).max(), 1e-3)
+    assert np.abs(gk).sum() > 0          # nontrivial
+    np.testing.assert_allclose(gk / scale, gt / scale, atol=5e-3)
