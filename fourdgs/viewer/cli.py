@@ -32,6 +32,11 @@ def build_argparser():
     p.add_argument("--out", default="frame.png",
                    help="output PNG (or directory prefix for sweeps)")
     p.add_argument("--backend", default="xla", choices=["xla", "pallas", "dense"])
+    p.add_argument("--converged", action="store_true",
+                   help="composite EVERY pair (exact head + streaming "
+                        "banded-OIT tail; pallas backend, Morton-ordered "
+                        "scene) — matches the reference's no-depth-cap "
+                        "blend")
     p.add_argument("--min-opacity", type=float, default=0.0)
     p.add_argument("--no-sort", action="store_true",
                    help="draw in splat-index order (reference's sort toggle)")
@@ -157,7 +162,15 @@ def main(argv=None):
     cam = Camera.create(position=campos, orientation=camdir,
                         width=args.width, height=args.height)
 
-    if args.backend == "pallas":
+    if args.converged:
+        cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                           background=bg, max_splats_per_tile=256,
+                           max_tiles_per_splat=8, splat_chunk=128,
+                           quantized_depth_sort=True, big_splat_budget=16,
+                           depth_prune_cap=256, depth_prune_safety=1.2,
+                           deepening_fraction=1.0, tail_mode="banded",
+                           tail_block=(4, 8))
+    elif args.backend == "pallas":
         cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas", background=bg)
     else:
         cfg = RenderConfig(background=bg)

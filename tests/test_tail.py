@@ -145,3 +145,45 @@ def test_tail_backward_matches_twin_ad():
     scale = max(np.abs(gt).max(), 1e-3)
     assert np.abs(gk).sum() > 0          # nontrivial
     np.testing.assert_allclose(gk / scale, gt / scale, atol=5e-3)
+
+
+@pytest.mark.slow
+def test_training_through_converged_stack():
+    """A few Adam steps through the FULL converged pipeline (exact head +
+    banded tail, pallas interpret) must reduce the loss: the tail's
+    hand-written backward drives real parameter learning end to end."""
+    from fourdgs.core.camera import Camera
+    from fourdgs.render.pipeline import RenderConfig, render_params4d_packed
+    from bench import build_cube_scene
+    import optax
+
+    cam = Camera.create(position=(420.0, 300.0, 420.0),
+                        orientation=(-1.0, -0.7, -1.0),
+                        far=5000.0, width=256, height=64)
+    cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                       max_splats_per_tile=128, max_tiles_per_splat=8,
+                       splat_chunk=32, quantized_depth_sort=True,
+                       big_splat_budget=16, depth_prune_cap=128,
+                       depth_prune_safety=1.2, deepening_fraction=1.0,
+                       tail_mode="banded", tail_bands=4, tail_block=(4, 8),
+                       tail_chunk=256)
+    params = build_cube_scene(1200, seed=7)
+    target = render_params4d_packed(
+        build_cube_scene(1200, seed=8), cam, 0.0, cfg=cfg)
+
+    def loss_fn(p):
+        img = render_params4d_packed(p, cam, 0.0, cfg=cfg)
+        return jnp.mean((img[..., :3] - target[..., :3]) ** 2)
+
+    opt = optax.adam(5e-2)
+    st = opt.init(params)
+    step = jax.jit(jax.value_and_grad(loss_fn))
+    losses = []
+    for _ in range(4):
+        l, g = step(params)
+        assert all(bool(jnp.all(jnp.isfinite(v))) for v in g.values())
+        up, st = opt.update(g, st, params)
+        params = optax.apply_updates(params, up)
+        losses.append(float(l))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(losses).all()
