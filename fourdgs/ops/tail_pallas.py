@@ -79,19 +79,16 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def tail_meta(alive, tx0, tx1, ty0, ty1, dbits, budget_lo: int,
-              budget_hi: int, chunk: int):
-    """(6, Np) int32 meta operand for the kernel + (steps,) band prep inputs.
-
-    span is zeroed for dead splats and for splats OUTSIDE [budget_lo+1,
-    budget_hi] (the stream only owns spans in that range: the main stream
-    takes span <= budget, the big stream the rest). Arrays are padded to a
-    `chunk` multiple with dead entries.
-    """
+def tail_meta(alive, tx0, tx1, ty0, ty1, dbits, chunk: int):
+    """(6, Np) int32 meta operand: [tx0, tx1, ty0, ty1, dbits, raw span
+    (0 for dead splats)]. The budget window — which spans a stream owns
+    (main: span <= budget; big: budget < span <= big budget) — is applied
+    IN-KERNEL via tail_accumulate's (budget_lo, budget] statics, so one
+    meta array serves both streams (and the big-tier gather). Arrays are
+    padded to a `chunk` multiple with dead entries."""
     n = tx0.shape[0]
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
-    span = jnp.where(alive & (span > budget_lo) & (span <= budget_hi),
-                     span, 0)
+    span = jnp.where(alive, span, 0)
     meta = jnp.stack([tx0, tx1, ty0, ty1, dbits, span]).astype(jnp.int32)
     npad = _ceil_to(n, chunk)
     if npad != n:
@@ -99,14 +96,16 @@ def tail_meta(alive, tx0, tx1, ty0, ty1, dbits, budget_lo: int,
     return meta
 
 
-def step_bands_rects(meta, chunk: int, band_cuts):
+def step_bands_rects(meta, chunk: int, band_cuts, budget_lo: int = 0,
+                     budget_hi: int = 1 << 30):
     """Per-step (chunk of `chunk` splats) banding + tile rects, XLA prepass.
 
     Returns (band (S,), rect (S, 4) = [txw, tyw, nwx, nwy]) where the
     window grid is (txw + 2*i, tyw + 16*j), tyw 8-aligned, covering every
-    live tile of the step."""
+    live tile of the step. (budget_lo, budget_hi] selects the stream's
+    span window (must match the kernel call)."""
     tx0, tx1, ty0, ty1, dbits, span = [m.reshape(-1, chunk) for m in meta]
-    live = span > 0
+    live = (span > budget_lo) & (span <= budget_hi)
     big = jnp.int32(np.iinfo(np.int32).max)
     mtx0 = jnp.min(jnp.where(live, tx0, big), axis=1)
     mty0 = jnp.min(jnp.where(live, ty0, big), axis=1)
@@ -177,8 +176,8 @@ def combine_bands(acc):
 
 def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
                  cut_ref, fields_ref, meta_ref, acc_ref, planes_ref, *,
-                 chunk: int, budget: int, nx: int, ny_pad: int, s_cy: int,
-                 s_cx: int, rows_per_band: int):
+                 chunk: int, budget: int, budget_lo: int, nx: int,
+                 ny_pad: int, s_cy: int, s_cx: int, rows_per_band: int):
     """One grid step = one chunk of `chunk` splats.
 
     band/txw/tyw/nwx/nwy refs: (S,) i32 scalar-prefetch (1-D each — a 2-D
@@ -241,7 +240,9 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
         nxs_c = jnp.maximum(mtx1 - mtx0 + 1, 1)
         oy_c = s // nxs_c
         ox_c = s - oy_c * nxs_c
-        live_c = (s < meta_ref[5:6, :]) & (oy_c <= mty1 - mty0)
+        span_c = meta_ref[5:6, :]
+        live_c = ((s < span_c) & (span_c > budget_lo)
+                  & (span_c <= budget) & (oy_c <= mty1 - mty0))
         tx_c = mtx0 + ox_c
         ty_c = mty0 + oy_c
         tid_c = ty_c * nx + tx_c
@@ -266,7 +267,8 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
             nx_span = jnp.maximum(tx1 - tx0 + 1, 1)
             oy = s // nx_span                       # (1, SUB) int
             ox = s - oy * nx_span
-            live = (s < span) & (oy <= ty1 - ty0)
+            live = ((s < span) & (span > budget_lo) & (span <= budget)
+                    & (oy <= ty1 - ty0))
             tx = tx0 + ox
             ty = ty0 + oy
             tid = ty * nx + tx
@@ -393,6 +395,7 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
 def tail_accumulate(fields, meta, band, rect, cut, params_row,
                     k_bands: int, nx: int, ny: int, chunk: int,
                     budget: int, s_cy: int, s_cx: int,
+                    budget_lo: int = 0,
                     interpret: bool | None = None):
     """Run the streaming tail kernel (differentiable w.r.t. `fields`
     through the hand-written backward kernel below).
@@ -404,11 +407,12 @@ def tail_accumulate(fields, meta, band, rect, cut, params_row,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _tail_core(fields, meta, band, rect, cut, params_row, k_bands,
-                      nx, ny, chunk, budget, s_cy, s_cx, interpret)
+                      nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
+                      interpret)
 
 
 def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
-                  ny, chunk, budget, s_cy, s_cx, interpret):
+                  ny, chunk, budget, budget_lo, s_cy, s_cx, interpret):
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
     if fields.shape[1] != npts:
@@ -446,8 +450,9 @@ def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
                                    jnp.bfloat16)],
     )
     kern = functools.partial(
-        _tail_kernel, chunk=chunk, budget=budget, nx=nx, ny_pad=ny_pad,
-        s_cy=s_cy, s_cx=s_cx, rows_per_band=rows_per_band)
+        _tail_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
+        nx=nx, ny_pad=ny_pad, s_cy=s_cy, s_cx=s_cx,
+        rows_per_band=rows_per_band)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -462,7 +467,8 @@ def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
 
 def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
                         k_bands: int, nx: int, ny: int, chunk: int,
-                        budget: int, s_cy: int, s_cx: int):
+                        budget: int, s_cy: int, s_cx: int,
+                        budget_lo: int = 0):
     """jnp reference twin of tail_accumulate (scatter-add based; tests)."""
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
@@ -492,7 +498,8 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
         [cut, jnp.full((CUT_ROWS * 128 - cut.shape[0],),
                        jnp.iinfo(jnp.int32).max, jnp.int32)])
     for s in range(budget):
-        live = (s < span) & (oy < (ty1 - ty0 + 1))
+        live = ((s < span) & (span > budget_lo) & (span <= budget)
+                & (oy < (ty1 - ty0 + 1)))
         tx = tx0 + ox
         ty = ty0 + oy
         tid = ty * nx + tx
@@ -537,8 +544,9 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
 
 def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
                      params_ref, cut_ref, fields_ref, meta_ref, dacc_ref,
-                     df_ref, dpl_ref, *, chunk: int, budget: int, nx: int,
-                     ny_pad: int, s_cy: int, s_cx: int, rows_per_band: int):
+                     df_ref, dpl_ref, *, chunk: int, budget: int,
+                     budget_lo: int, nx: int, ny_pad: int, s_cy: int,
+                     s_cx: int, rows_per_band: int):
     g = pl.program_id(0)
     n_samp = s_cy * s_cx
 
@@ -576,7 +584,9 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
         nxs_c = jnp.maximum(mtx1 - mtx0 + 1, 1)
         oy_c = s // nxs_c
         ox_c = s - oy_c * nxs_c
-        live_c = (s < meta_ref[5:6, :]) & (oy_c <= mty1 - mty0)
+        span_c = meta_ref[5:6, :]
+        live_c = ((s < span_c) & (span_c > budget_lo)
+                  & (span_c <= budget) & (oy_c <= mty1 - mty0))
         tx_c = mtx0 + ox_c
         ty_c = mty0 + oy_c
         tid_c = ty_c * nx + tx_c
@@ -648,7 +658,8 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             nx_span = jnp.maximum(tx1 - tx0 + 1, 1)
             oy = s // nx_span
             ox = s - oy * nx_span
-            live = (s < span) & (oy <= ty1 - ty0)
+            live = ((s < span) & (span > budget_lo) & (span <= budget)
+                    & (oy <= ty1 - ty0))
             tx = tx0 + ox
             ty = ty0 + oy
             tid = ty * nx + tx
@@ -751,7 +762,7 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
 
 def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
               k_bands: int, nx: int, ny: int, chunk: int, budget: int,
-              s_cy: int, s_cx: int, interpret: bool):
+              budget_lo: int, s_cy: int, s_cx: int, interpret: bool):
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
     n_fields = fields.shape[1]
@@ -790,8 +801,9 @@ def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
                                    jnp.float32)],
     )
     kern = functools.partial(
-        _tail_bwd_kernel, chunk=chunk, budget=budget, nx=nx, ny_pad=ny_pad,
-        s_cy=s_cy, s_cx=s_cx, rows_per_band=rows_per_band)
+        _tail_bwd_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
+        nx=nx, ny_pad=ny_pad, s_cy=s_cy, s_cx=s_cx,
+        rows_per_band=rows_per_band)
     df = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -809,26 +821,28 @@ def _float0_like(x):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11,
-                                                    12, 13))
+                                                    12, 13, 14))
 def _tail_core(fields, meta, band, rect, cut, params_row, k_bands, nx, ny,
-               chunk, budget, s_cy, s_cx, interpret):
+               chunk, budget, budget_lo, s_cy, s_cx, interpret):
     return _tail_fwd_raw(fields, meta, band, rect, cut, params_row,
-                         k_bands, nx, ny, chunk, budget, s_cy, s_cx,
-                         interpret)
+                         k_bands, nx, ny, chunk, budget, budget_lo, s_cy,
+                         s_cx, interpret)
 
 
 def _tail_core_fwd(fields, meta, band, rect, cut, params_row, k_bands, nx,
-                   ny, chunk, budget, s_cy, s_cx, interpret):
+                   ny, chunk, budget, budget_lo, s_cy, s_cx, interpret):
     acc = _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands,
-                        nx, ny, chunk, budget, s_cy, s_cx, interpret)
+                        nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
+                        interpret)
     return acc, (fields, meta, band, rect, cut, params_row)
 
 
-def _tail_core_bwd(k_bands, nx, ny, chunk, budget, s_cy, s_cx, interpret,
-                   res, d_acc):
+def _tail_core_bwd(k_bands, nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
+                   interpret, res, d_acc):
     fields, meta, band, rect, cut, params_row = res
     df = _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
-                   k_bands, nx, ny, chunk, budget, s_cy, s_cx, interpret)
+                   k_bands, nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
+                   interpret)
     return (df, _float0_like(meta), _float0_like(band), _float0_like(rect),
             _float0_like(cut), jnp.zeros_like(params_row))
 

@@ -503,9 +503,11 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
                             by2]).astype(jnp.float32)
 
     chunk = cfg.tail_chunk
-    meta = TPL.tail_meta(alive, tx0, tx1, ty0, ty1, dbits, 0,
-                         cfg.max_tiles_per_splat, chunk)
-    band, rect = TPL.step_bands_rects(meta, chunk, band_cuts)
+    # ONE raw meta array (budget windows applied in-kernel) serves the
+    # main stream, the band/rect prepass, and the big-tier gather.
+    meta = TPL.tail_meta(alive, tx0, tx1, ty0, ty1, dbits, chunk)
+    band, rect = TPL.step_bands_rects(
+        meta, chunk, band_cuts, 0, cfg.max_tiles_per_splat)
     with jax.named_scope("tail_main"):
         acc = TPL.tail_accumulate(
             fields, meta, band, rect, cut, params_row, k_bands=k_bands,
@@ -514,28 +516,28 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
 
     if binning.big_ids is not None:
         # Big-tier stream: the kept wide-span splat ids re-walked with the
-        # big budget (exactly the head's big tier). One stacked gather
-        # fetches record fields + bbox + depth bits together.
+        # big budget window (exactly the head's big tier). The id list is
+        # tiny after the second-level compaction (~800 live at the 10M
+        # bench), so two row gathers (fields, meta) are ~free.
         ids = binning.big_ids
         safe = jnp.minimum(ids, n - 1)
-        ints = jax.lax.bitcast_convert_type(
-            jnp.stack([tx0, tx1, ty0, ty1, dbits,
-                       alive.astype(jnp.int32)]), jnp.float32)
-        packed = jnp.concatenate([fields, ints])[:, safe]   # (16, keep)
-        bfields = packed[:10]
-        btx0, btx1, bty0, bty1, bdbits, balive = \
-            jax.lax.bitcast_convert_type(packed[10:], jnp.int32)
-        b_alive = (ids != dead) & (balive != 0)
+        bfields = fields[:, safe]
+        meta_g = meta[:, safe]
+        b_dead = (ids == dead)
+        meta_b0 = jnp.where(b_dead[None, :], 0, meta_g)
         chunk_b = min(512, _ceil8(ids.shape[0]))
-        meta_b = TPL.tail_meta(b_alive, btx0, btx1, bty0, bty1, bdbits,
-                               cfg.max_tiles_per_splat,
-                               cfg.big_splat_budget, chunk_b)
-        band_b, rect_b = TPL.step_bands_rects(meta_b, chunk_b, band_cuts)
+        npad = -(-ids.shape[0] // chunk_b) * chunk_b
+        if npad != ids.shape[0]:
+            meta_b0 = jnp.pad(meta_b0, ((0, 0), (0, npad - ids.shape[0])))
+        band_b, rect_b = TPL.step_bands_rects(
+            meta_b0, chunk_b, band_cuts, cfg.max_tiles_per_splat,
+            cfg.big_splat_budget)
         with jax.named_scope("tail_big"):
             acc = acc + TPL.tail_accumulate(
-                bfields, meta_b, band_b, rect_b, cut, params_row,
+                bfields, meta_b0, band_b, rect_b, cut, params_row,
                 k_bands=k_bands, nx=nx, ny=ny, chunk=chunk_b,
-                budget=cfg.big_splat_budget, s_cy=s_cy, s_cx=s_cx)
+                budget=cfg.big_splat_budget, s_cy=s_cy, s_cx=s_cx,
+                budget_lo=cfg.max_tiles_per_splat)
 
     # Fold bands, upsample the coarse tail field, blend under T_head.
     with jax.named_scope("tail_combine"):

@@ -36,8 +36,7 @@ def _fixture(n=3000, nx=6, ny=10, k_bands=3, chunk=256, budget=3, seed=0):
                            1e-4, 2e-4], np.float32)
     meta = TP.tail_meta(jnp.asarray(alive), jnp.asarray(tx0),
                         jnp.asarray(tx1), jnp.asarray(ty0),
-                        jnp.asarray(ty1), jnp.asarray(dbits),
-                        0, budget, chunk)
+                        jnp.asarray(ty1), jnp.asarray(dbits), chunk)
     npad = meta.shape[1]
     f = jnp.asarray(np.pad(fields, ((0, 0), (0, npad - n))))
     steps = npad // chunk
