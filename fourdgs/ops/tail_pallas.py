@@ -125,9 +125,11 @@ def step_bands_rects(meta, chunk: int, band_cuts, budget_lo: int = 0,
     d_cnt = jnp.maximum(jnp.sum(live, axis=1), 1)
     d_mean = d_sum // d_cnt
     # band_cuts are quantiles of NEGATED dbits (ascending = near-to-far);
-    # query with the negated mean so band 0 is the nearest band.
-    band = jnp.searchsorted(band_cuts, -d_mean,
-                            side="right").astype(jnp.int32)
+    # query with the negated mean so band 0 is the nearest band. A
+    # compare-sum over the K-1 cuts replaces jnp.searchsorted (which
+    # lowers to a serial while on TPU).
+    band = jnp.sum((-d_mean)[:, None] >= band_cuts[None, :],
+                   axis=1).astype(jnp.int32)
     rect = jnp.stack([txw, tyw, nwx, nwy], axis=1).astype(jnp.int32)
     return band, rect
 
@@ -175,9 +177,10 @@ def combine_bands(acc):
 
 
 def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
-                 cut_ref, fields_ref, meta_ref, acc_ref, planes_ref, *,
-                 chunk: int, budget: int, budget_lo: int, nx: int,
-                 ny_pad: int, s_cy: int, s_cx: int, rows_per_band: int):
+                 cut_ref, fields_ref, meta_ref, acc_ref, planes_ref,
+                 ltx_ref, *, chunk: int, budget: int, budget_lo: int,
+                 nx: int, ny_pad: int, s_cy: int, s_cx: int,
+                 rows_per_band: int):
     """One grid step = one chunk of `chunk` splats.
 
     band/txw/tyw/nwx/nwy refs: (S,) i32 scalar-prefetch (1-D each — a 2-D
@@ -255,35 +258,19 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
             got = jnp.take_along_axis(rowb, lo3, axis=1)
             cutv = jnp.where(hi3 == h, got, cutv)
         live_c = live_c & (key_c > cutv.reshape(1, chunk))
+        # Stage (live, tx, ty) through a tiny scratch so the sample-space
+        # eval below reads STATIC ref slices instead of recomputing the
+        # slot walk (vector integer divide) and the 16-shuffle cut lookup
+        # per sub-block (measured ~4 ms/frame of duplicate work).
+        ltx_ref[0:1, :] = live_c.astype(jnp.int32)
+        ltx_ref[1:2, :] = tx_c
+        ltx_ref[2:3, :] = ty_c
 
         for b0 in range(0, chunk, SUB):
             sl = (slice(0, 1), slice(b0, b0 + SUB))
-            tx0 = meta_ref[(slice(0, 1), slice(b0, b0 + SUB))]
-            tx1 = meta_ref[(slice(1, 2), slice(b0, b0 + SUB))]
-            ty0 = meta_ref[(slice(2, 3), slice(b0, b0 + SUB))]
-            ty1 = meta_ref[(slice(3, 4), slice(b0, b0 + SUB))]
-            dbits = meta_ref[(slice(4, 5), slice(b0, b0 + SUB))]
-            span = meta_ref[(slice(5, 6), slice(b0, b0 + SUB))]
-            nx_span = jnp.maximum(tx1 - tx0 + 1, 1)
-            oy = s // nx_span                       # (1, SUB) int
-            ox = s - oy * nx_span
-            live = ((s < span) & (span > budget_lo) & (span <= budget)
-                    & (oy <= ty1 - ty0))
-            tx = tx0 + ox
-            ty = ty0 + oy
-            tid = ty * nx + tx
-            key = (tid << QUANT_DEPTH_BITS) | dbits
-            # Tail membership: key > cut[tid] — the exact complement of
-            # the head's inclusive keep (apply_cutkeys-pattern lookup).
-            shi = (tid >> 7).reshape(SUB // 128, 128)
-            slo = (tid & 127).reshape(SUB // 128, 128)
-            scut = jnp.zeros((SUB // 128, 128), jnp.int32)
-            for h in range(CUT_ROWS):
-                rowb = jnp.broadcast_to(cut_ref[h:h + 1, :],
-                                        (SUB // 128, 128))
-                got = jnp.take_along_axis(rowb, slo, axis=1)
-                scut = jnp.where(shi == h, got, scut)
-            live = live & (key > scut.reshape(1, SUB))
+            live = ltx_ref[(slice(0, 1), slice(b0, b0 + SUB))] != 0
+            tx = ltx_ref[(slice(1, 2), slice(b0, b0 + SUB))]
+            ty = ltx_ref[(slice(2, 3), slice(b0, b0 + SUB))]
 
             sx = fields_ref[sl]
             sy = fields_ref[(slice(1, 2), slice(b0, b0 + SUB))]
@@ -447,7 +434,8 @@ def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
                                lambda g, *_: (0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((N_PLANES * n_samp, chunk),
-                                   jnp.bfloat16)],
+                                   jnp.bfloat16),
+                        pltpu.VMEM((8, chunk), jnp.int32)],
     )
     kern = functools.partial(
         _tail_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
@@ -544,7 +532,7 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
 
 def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
                      params_ref, cut_ref, fields_ref, meta_ref, dacc_ref,
-                     df_ref, dpl_ref, *, chunk: int, budget: int,
+                     df_ref, dpl_ref, ltx_ref, *, chunk: int, budget: int,
                      budget_lo: int, nx: int, ny_pad: int, s_cy: int,
                      s_cx: int, rows_per_band: int):
     g = pl.program_id(0)
@@ -599,6 +587,12 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             got = jnp.take_along_axis(rowb, lo3, axis=1)
             cutv = jnp.where(hi3 == h, got, cutv)
         live_c = live_c & (key_c > cutv.reshape(1, chunk))
+        # Stage (live, tx, ty) for the chain-rule sub-blocks (see the
+        # forward kernel: avoids duplicate slot-walk divides and cut
+        # lookups per sub-block).
+        ltx_ref[0:1, :] = live_c.astype(jnp.int32)
+        ltx_ref[1:2, :] = tx_c
+        ltx_ref[2:3, :] = ty_c
 
         # d_planes scratch: scatter d_acc windows back to pairs.
         dpl_ref[...] = jnp.zeros(dpl_ref.shape, dpl_ref.dtype)
@@ -649,30 +643,9 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
         # Sub-block chain rule: recompute the forward, apply cotangents.
         for b0 in range(0, chunk, SUB):
             sb = (slice(0, 1), slice(b0, b0 + SUB))
-            tx0 = meta_ref[(slice(0, 1), slice(b0, b0 + SUB))]
-            tx1 = meta_ref[(slice(1, 2), slice(b0, b0 + SUB))]
-            ty0 = meta_ref[(slice(2, 3), slice(b0, b0 + SUB))]
-            ty1 = meta_ref[(slice(3, 4), slice(b0, b0 + SUB))]
-            dbits = meta_ref[(slice(4, 5), slice(b0, b0 + SUB))]
-            span = meta_ref[(slice(5, 6), slice(b0, b0 + SUB))]
-            nx_span = jnp.maximum(tx1 - tx0 + 1, 1)
-            oy = s // nx_span
-            ox = s - oy * nx_span
-            live = ((s < span) & (span > budget_lo) & (span <= budget)
-                    & (oy <= ty1 - ty0))
-            tx = tx0 + ox
-            ty = ty0 + oy
-            tid = ty * nx + tx
-            key = (tid << QUANT_DEPTH_BITS) | dbits
-            shi = (tid >> 7).reshape(SUB // 128, 128)
-            slo = (tid & 127).reshape(SUB // 128, 128)
-            scut = jnp.zeros((SUB // 128, 128), jnp.int32)
-            for h in range(CUT_ROWS):
-                rowb = jnp.broadcast_to(cut_ref[h:h + 1, :],
-                                        (SUB // 128, 128))
-                got = jnp.take_along_axis(rowb, slo, axis=1)
-                scut = jnp.where(shi == h, got, scut)
-            live = live & (key > scut.reshape(1, SUB))
+            live = ltx_ref[(slice(0, 1), slice(b0, b0 + SUB))] != 0
+            tx = ltx_ref[(slice(1, 2), slice(b0, b0 + SUB))]
+            ty = ltx_ref[(slice(2, 3), slice(b0, b0 + SUB))]
             livef = live.astype(jnp.float32)
 
             sx = fields_ref[sb]
@@ -798,7 +771,8 @@ def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
         out_specs=pl.BlockSpec((10, chunk), lambda g, *_: (0, g),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((N_PLANES * n_samp, chunk),
-                                   jnp.float32)],
+                                   jnp.float32),
+                        pltpu.VMEM((8, chunk), jnp.int32)],
     )
     kern = functools.partial(
         _tail_bwd_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
