@@ -150,6 +150,24 @@ def global_band_cuts(sample_keys, k_bands: int):
     return ds[jnp.minimum(qs, ds.shape[0] - 1)]
 
 
+def tail_params_row(tile_h: int, tile_w: int, block, w: int, h: int,
+                    p00, p11, ty_base: int = 0):
+    """(8,) f32 kernel constants: affine sample coords in k units +
+    box-filter variances. `block` = (by, bx) coarse pixel block;
+    `ty_base` offsets band-relative tile rows (tile-row banding)."""
+    by, bx = block
+    kx_t = (tile_w * 2.0 / w) / p00
+    kx_j = (bx * 2.0 / w) / p00
+    kx_0 = ((bx * 0.5) * 2.0 / w - 1.0) / p00
+    ky_t = -(tile_h * 2.0 / h) / p11
+    ky_j = -(by * 2.0 / h) / p11
+    ky_0 = (1.0 - (ty_base * tile_h + by * 0.5) * 2.0 / h) / p11
+    bx2 = (bx * 2.0 / w / p00) ** 2 / 12.0
+    by2 = (by * 2.0 / h / p11) ** 2 / 12.0
+    return jnp.stack([kx_t, kx_j, kx_0, ky_t, ky_j, ky_0, bx2,
+                      by2]).astype(jnp.float32)
+
+
 def combine_bands(acc):
     """Fold per-band OIT sums into a front-to-back composite.
 

@@ -210,9 +210,97 @@ def _render_my_tiles_alltoall(splats: Splats4D, t, camera: Camera,
     take = lambda a: jax.lax.dynamic_slice_in_dim(padt(a), my_lo,
                                                   tiles_per_device, 0)
     from fourdgs.render.pipeline import _composite_pairrec_progressive
-    tiles = _composite_pairrec_progressive(
-        rec_f, tile_start, take(px), take(py), p00, p11,
-        jnp.asarray(cfg.background, dtype), cfg)
+    bg = jnp.asarray(cfg.background, dtype)
+    use_tail = cfg.tail_mode == "banded"
+    if not use_tail:
+        tiles = _composite_pairrec_progressive(
+            rec_f, tile_start, take(px), take(py), p00, p11, bg, cfg)
+    else:
+        # DISTRIBUTED CONVERGED MODE: exact head of the <= head_cap
+        # nearest exchanged pairs per tile (post-sort tie-exclusive
+        # re-cut, as in the single-chip path) + the streaming banded-OIT
+        # tail run on each device's OWN splat shard against the FULL tile
+        # grid. The tail accumulator is purely additive, so one psum
+        # fuses every shard's contribution; each device then folds bands
+        # and blends only its tile window. Work scales 1/n_dev (shard
+        # streams); communication adds the (K x tiles x planes x samples)
+        # accumulator all-reduce (~15 MB) + an 8 KB cut-table gather.
+        # NOTE: the tail re-walks pairs from the raw shard, so send-budget
+        # drops BEYOND the cut cost nothing; drops nearer than the cut
+        # remain the loud skew failure (aux pairs_dropped).
+        from fourdgs.ops import tail_pallas as TPL
+        head_cap = cfg.max_splats_per_tile
+        starts_w = tile_start[:-1]
+        counts_w = tile_start[1:] - starts_w
+        gl_ids = my_lo + jnp.arange(tiles_per_device, dtype=jnp.int32)
+        t_max_w = jnp.minimum(gl_ids + 1, t_total) << QUANT_DEPTH_BITS
+        t_max_w = t_max_w - 1
+        last = starts_w + jnp.minimum(counts_w, head_cap) - 1
+        kcut = key_f[jnp.maximum(last, 0)]
+        head_cut = jnp.where(counts_w > head_cap, kcut - 1, kcut)
+        head_cut = jnp.where(counts_w > 0, head_cut, t_max_w)
+        ub = searchsorted_i32(key_f, head_cut + 1)
+        head_counts = ub - starts_w
+        cut_full = jax.lax.all_gather(
+            head_cut, MESH_AXES, tiled=True)[:t_total]
+
+        carry = _composite_pairrec_progressive(
+            rec_f, tile_start, take(px), take(py), p00, p11, bg, cfg,
+            head_counts=head_counts, return_carry=True)
+
+        # Tail stream over MY raw shard (band cuts must be GLOBAL depth
+        # quantiles: Morton-sharded shards are spatially biased, so
+        # gather a small per-shard key sample first).
+        by, bx = cfg.tail_block
+        s_cy, s_cx = cfg.tile_h // by, cfg.tile_w // bx
+        n_loc = dbits.shape[0]
+        stride = max(1, n_loc // 2048)
+        samp = jnp.where(alive[::stride][:2048],
+                         dbits[::stride][:2048], dead)
+        samp_all = jax.lax.all_gather(samp, MESH_AXES, tiled=True)
+        band_cuts = TPL.global_band_cuts(samp_all, cfg.tail_bands)
+        fields = record_fields(proj, p00, p11)
+        meta = TPL.tail_meta(alive, tx0, tx1, ty0, ty1, dbits,
+                             cfg.tail_chunk)
+        band, rect = TPL.step_bands_rects(
+            meta, cfg.tail_chunk, band_cuts, 0, cfg.max_tiles_per_splat)
+        params_row = TPL.tail_params_row(cfg.tile_h, cfg.tile_w,
+                                         cfg.tail_block, w, h, p00, p11)
+        acc = TPL.tail_accumulate(
+            fields, meta, band, rect, cut_full, params_row,
+            k_bands=cfg.tail_bands, nx=nx, ny=ny, chunk=cfg.tail_chunk,
+            budget=cfg.max_tiles_per_splat, s_cy=s_cy, s_cx=s_cx)
+        acc = jax.lax.psum(acc, MESH_AXES)
+
+        n_samp = s_cy * s_cx
+        ny_pad = TPL._ceil_to(ny + TPL.WIN_TY, 8)
+        acc_r = acc.reshape(cfg.tail_bands, nx, ny_pad, TPL.N_PLANES,
+                            n_samp)[:, :, :ny]
+        acc_t = acc_r.transpose(2, 1, 0, 3, 4).reshape(
+            ny * nx, cfg.tail_bands, TPL.N_PLANES, n_samp)
+        acc_w = take(acc_t.reshape(ny * nx, -1)).reshape(
+            tiles_per_device, cfg.tail_bands, TPL.N_PLANES, n_samp)
+        rgb_c, alpha_c, trans_c = TPL.combine_bands(acc_w)
+        coarse = jnp.concatenate(
+            [rgb_c, alpha_c[:, None], trans_c[:, None]], axis=1)
+        # Per-tile bilinear upsample (windows are arbitrary flat tile
+        # ranges, so cross-tile smoothing is skipped here — the tail
+        # field is smooth and dim; the single-chip path smooths globally).
+        up = jax.image.resize(
+            coarse.reshape(tiles_per_device, 5, s_cy, s_cx),
+            (tiles_per_device, 5, cfg.tile_h, cfg.tile_w),
+            method="bilinear").reshape(tiles_per_device, 5,
+                                       cfg.tile_h * cfg.tile_w)
+        up = up.astype(dtype)
+        t_head = carry[:, 4:5, :]
+        new_rgb = carry[:, 0:3, :] + t_head * up[:, 0:3, :]
+        new_a = carry[:, 3:4, :] + t_head * up[:, 3:4, :]
+        new_t = t_head * up[:, 4:5, :]
+        out = jnp.concatenate([new_rgb, new_a, new_t], axis=1)
+        rgb = out[:, 0:3, :] + out[:, 4:5, :] * bg[:3, None]
+        a = out[:, 3, :] + out[:, 4, :] * bg[3]
+        tiles = jnp.concatenate([rgb, a[:, None, :]],
+                                axis=1).transpose(0, 2, 1)
     aux = {
         "overflowed": jax.lax.psum(overflowed, MESH_AXES),
         "pairs_dropped": jax.lax.psum(dropped, MESH_AXES),

@@ -484,23 +484,15 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
         db_s, al_s = dbits, alive
     band_cuts = TPL.global_band_cuts(jnp.where(al_s, db_s, dead), k_bands)
 
-    # Affine sample-coordinate params (k units; see tail_pallas docstring).
+    # Affine sample-coordinate params (k units; see tail_pallas docstring;
+    # ty_base folds the tile-row band's pixel offset into the constants).
     by, bx = cfg.tail_block
     s_cy, s_cx = cfg.tile_h // by, cfg.tile_w // bx
     assert s_cy * by == cfg.tile_h and s_cx * bx == cfg.tile_w, \
         (cfg.tail_block, cfg.tile_h, cfg.tile_w)
-    kx_t = (cfg.tile_w * 2.0 / w) / p00
-    kx_j = (bx * 2.0 / w) / p00
-    kx_0 = ((bx * 0.5) * 2.0 / w - 1.0) / p00
-    ky_t = -(cfg.tile_h * 2.0 / h) / p11
-    ky_j = -(by * 2.0 / h) / p11
-    # Band tiles index from the band's first row: fold the band's global
-    # pixel offset into the constant term.
-    ky_0 = (1.0 - (ty_base * cfg.tile_h + by * 0.5) * 2.0 / h) / p11
-    bx2 = (bx * 2.0 / w / p00) ** 2 / 12.0
-    by2 = (by * 2.0 / h / p11) ** 2 / 12.0
-    params_row = jnp.stack([kx_t, kx_j, kx_0, ky_t, ky_j, ky_0, bx2,
-                            by2]).astype(jnp.float32)
+    params_row = TPL.tail_params_row(cfg.tile_h, cfg.tile_w,
+                                     cfg.tail_block, w, h, p00, p11,
+                                     ty_base)
 
     chunk = cfg.tail_chunk
     # ONE raw meta array (budget windows applied in-kernel) serves the
@@ -571,7 +563,8 @@ def _ceil8(x: int) -> int:
 
 def _composite_pairrec_progressive(rec_pairs: jax.Array, tile_start: jax.Array,
                                    px, py, p00, p11, background,
-                                   cfg: RenderConfig) -> jax.Array:
+                                   cfg: RenderConfig, head_counts=None,
+                                   return_carry: bool = False):
     """Progressive slab composite straight from a tile-major sorted
     pair-record array (P, N_FIELDS) — records are CONTIGUOUS per tile, so
     every slab load is a dynamic row slice: no random gather at all. This
@@ -588,6 +581,10 @@ def _composite_pairrec_progressive(rec_pairs: jax.Array, tile_start: jax.Array,
     t_tiles, p = px.shape
     starts = tile_start[:-1]
     counts_full = tile_start[1:] - starts
+    if head_counts is not None:
+        # Post-sort re-cut (distributed tail mode): the head owns exactly
+        # these nearest pairs; the banded tail composites the rest.
+        counts_full = head_counts
     rec_pad = jnp.concatenate(
         [rec_pairs, jnp.zeros((m, N_FIELDS), rec_pairs.dtype)], axis=0)
     kx = (px / p00).reshape(t_tiles, 1, p)
@@ -631,6 +628,8 @@ def _composite_pairrec_progressive(rec_pairs: jax.Array, tile_start: jax.Array,
         out = out.at[sel].set(out_s)
         slab_done = slab_done.at[sel].add(act.astype(jnp.int32))
 
+    if return_carry:
+        return out
     rgb = out[:, 0:3, :] + out[:, 4:5, :] * background[:3, None]
     a = out[:, 3, :] + out[:, 4, :] * background[3]
     return jnp.concatenate([rgb, a[:, None, :]], axis=1).transpose(0, 2, 1)

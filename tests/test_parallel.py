@@ -242,3 +242,79 @@ class TestAllToAllExchange:
             s, self.CAMP, 1.0, mesh, cfg=self.CFGP, send_budget=2,
             return_aux=True))(splats)
         assert int(aux["pairs_dropped"]) > 0
+
+
+@pytest.mark.slow
+class TestDistributedConvergedTail:
+    """Distributed converged mode (round 4): exact head of the exchanged
+    pairs + per-shard banded-OIT tail fused by an additive psum. Must
+    track the single-chip converged render (differences: per-shard band
+    cut sampling and per-tile vs global tail upsampling)."""
+    CAM = Camera.create(position=(0.0, 0.0, 0.0), width=256, height=128)
+    CFG = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
+                       max_splats_per_tile=128, max_tiles_per_splat=8,
+                       splat_chunk=64, quantized_depth_sort=True,
+                       depth_prune_cap=128, depth_prune_safety=1.2,
+                       deepening_fraction=1.0, tail_mode="banded",
+                       tail_bands=4, tail_block=(4, 16), tail_chunk=512)
+
+    def test_converged_sharded_matches_single_chip(self):
+        params = make_scene4d(jax.random.PRNGKey(31), n=1024)
+        splats = D.materialize_splats(params)
+        mesh = make_mesh()
+        img_ref = np.asarray(pipeline.render_splats4d(
+            splats, self.CAM, 1.0, cfg=self.CFG))
+        img_sh = np.asarray(jax.jit(
+            lambda s: D.render_splats4d_sharded_alltoall(
+                s, self.CAM, 1.0, mesh, cfg=self.CFG))(splats))
+        d = np.abs(img_sh[..., :3] - img_ref[..., :3])
+        assert np.isfinite(img_sh).all()
+        # Aggregate must track closely; local diffs are the documented
+        # band-sampling/upsampling differences between the two routes.
+        assert abs(img_sh[..., :3].mean() - img_ref[..., :3].mean()) \
+            < 0.01 * max(img_ref[..., :3].mean(), 0.01) + 1e-4
+        assert float(d.mean()) < 0.01
+
+    def test_tail_covers_send_budget_drops_beyond_cut(self):
+        # With the tail on, a starved send budget still nearly converges
+        # the image: the re-cut adapts to what the head actually received
+        # (the cut is the last received key per tile), so every dropped
+        # pair beyond it is re-walked by the tail from the raw shard; only
+        # drops shallower than another source's received run are lost.
+        params = make_scene4d(jax.random.PRNGKey(32), n=512)
+        splats = D.materialize_splats(params)
+        mesh = make_mesh()
+        full, aux_full = jax.jit(
+            lambda s: D.render_splats4d_sharded_alltoall(
+                s, self.CAM, 1.0, mesh, cfg=self.CFG,
+                return_aux=True))(splats)
+        tiny, aux_tiny = jax.jit(
+            lambda s: D.render_splats4d_sharded_alltoall(
+                s, self.CAM, 1.0, mesh, cfg=self.CFG, send_budget=2,
+                return_aux=True))(splats)
+        assert int(aux_tiny["pairs_dropped"]) > 0
+        d = np.abs(np.asarray(tiny)[..., :3] - np.asarray(full)[..., :3])
+        assert float(d.mean()) < 0.02
+
+    def test_training_grads_through_distributed_tail_known_gap(self):
+        # KNOWN GAP (ROADMAP r4 #3): reverse-mode through the distributed
+        # tail trips a shard_map sharp edge — with check_vma=False, the
+        # linearized body's REPLICATED residuals (the all-gathered cut
+        # table / band cuts / params row saved by the tail's custom VJP)
+        # are spec-matched as device-varying and pjit compile asserts.
+        # check_vma=True needs vma annotations on every pallas out_shape.
+        # This test pins the failure mode loudly so the fix (two-stage
+        # shard_map: head inside, additive tail reduction outside) has a
+        # ready acceptance test: flip `pytest.raises` to the grad
+        # assertions when it lands. Single-chip converged training works
+        # (tests/test_tail.py) and distributed training works with
+        # tail_mode off (TestShardedTraining).
+        params = make_scene4d(jax.random.PRNGKey(33), n=256)
+        mesh = make_mesh()
+        target = jnp.zeros((self.CAM.height, self.CAM.width, 4))
+        loss = D.make_sharded_loss(self.CAM, mesh, self.CFG,
+                                   exchange="alltoall")
+        l = loss(params, target, 1.0)            # forward works
+        assert np.isfinite(float(l))
+        with pytest.raises(Exception):
+            jax.value_and_grad(lambda p: loss(p, target, 1.0))(params)
