@@ -28,11 +28,12 @@ This kernel instead processes the tail with ZERO sorting and ZERO gathers:
     log1p/exp roundtrip; only within-band COLOR mixing is approximate
     ((Ar..)/A weighting). The alpha channel uses A2/A to match the head
     kernel's sum(alpha^2 T) semantics.
-  * Evaluation is at COARSE samples — TAIL_CY x TAIL_CX pixel blocks
-    (default 4x8) per sample, with the splat's footprint analytically
-    widened by the block's box-filter variance (no aliasing for any splat
-    size; the tail field is then bilinearly upsampled and blended under
-    the head's per-pixel transmittance).
+  * Evaluation is at COARSE samples — one per (by x bx)-pixel block
+    (RenderConfig.tail_block; the shipped bench uses 8x16), with the
+    splat's footprint analytically widened by the block's box-filter
+    variance at preserved mass (no aliasing for any splat size; the tail
+    field is then bilinearly upsampled and blended under the head's
+    per-pixel transmittance).
   * The scatter onto (band, tile) targets is a one-hot MXU matmul into a
     VMEM-resident accumulator (the whole (K x tiles x planes x samples)
     accumulator fits VMEM), flushed as two aligned sublane-slice updates
@@ -61,11 +62,6 @@ from fourdgs.render.tiles import QUANT_DEPTH_BITS
 ALPHA_MAX = 1.0 - 1e-6
 N_PLANES = 6                      # A, Ar, Ag, Ab, A2, L
 _P_A, _P_AR, _P_AG, _P_AB, _P_A2, _P_L = range(N_PLANES)
-
-# Coarse sample block (pixels): TAIL_CY x TAIL_CX pixels per sample; a
-# tile_h x tile_w tile gets (tile_h/TAIL_CY) x (tile_w/TAIL_CX) samples.
-TAIL_CY = 4
-TAIL_CX = 8
 
 WIN_TX = 2                        # window: 2 tile columns x 16 tile rows
 WIN_TY = 16

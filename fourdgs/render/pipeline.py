@@ -94,14 +94,16 @@ class RenderConfig:
     depth_prune_cap: int = 0
     depth_prune_safety: float = 2.0
     # Streaming banded-OIT tail (ops/tail_pallas.py): "banded" composites
-    # EVERY pair beyond the per-tile prune cut — the exact complement of
-    # the head — at coarse resolution with depth-band ordering, closing
-    # the depth-cap truncation gap vs the reference's blend-everything
+    # EVERY pair beyond the per-tile cut — the exact complement of the
+    # head — at coarse resolution with depth-band ordering, closing the
+    # depth-cap truncation gap vs the reference's blend-everything
     # pipeline. Requires backend="pallas", quantized sort, and
-    # depth_prune_cap > 0 (the cut IS the head/tail boundary); the head
-    # then deepens until its kept set is exhausted. Splats should be in
-    # Morton order (scene-build reorder, splats/packed.morton_order) for
-    # the kernel's screen-tile locality; correctness does not depend on it.
+    # depth_prune_cap > 0 (the prune pre-filters; the post-sort
+    # tie-exclusive re-cut then bounds the head at <= max_splats_per_tile
+    # nearest pairs, so pass 1 composites the whole head). Splats should
+    # be in Morton order (scene-build reorder, splats/packed.morton_order)
+    # for the kernel's screen-tile locality; correctness does not depend
+    # on it.
     tail_mode: str = "off"          # "off" | "banded"
     tail_bands: int = 8             # depth bands (ordered; OIT within)
     tail_block: Tuple[int, int] = (8, 8)   # coarse px block (y, x)

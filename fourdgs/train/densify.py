@@ -45,6 +45,21 @@ class DensifyConfig:
     split_scale: float = 2.0    # max scale above which candidates split
     split_factor: float = 1.6   # scale shrink on split (3DGS uses 1.6)
     prune_alpha: float = 5e-3   # opacity below which a splat is pruned
+    # Optimizer-state policy at densify events:
+    #   "slots" — zero Adam moments ONLY at changed slots (pruned /
+    #             refilled / split parents); untouched splats keep their
+    #             momentum history and the global step count survives.
+    #   "all"   — full opt.init: every moment AND the step count reset,
+    #             which restarts Adam's bias correction (a temporary
+    #             whole-model learning-rate kick). MEASURED tradeoff on
+    #             the cluster-recovery fit (tests/test_train.py): the
+    #             kick lets the configuration re-optimize around new
+    #             children (final loss 3.3e-4 vs 4.1e-4 with "slots",
+    #             which barely beats no-densify there); on large scenes
+    #             the kick perturbs millions of converged splats for a
+    #             handful of new ones. Default "slots" for stability;
+    #             use "all" for small aggressive fits.
+    opt_reset: str = "slots"    # "slots" | "all"
 
 
 def init_state(n: int, dtype=jnp.float32) -> DensifyState:

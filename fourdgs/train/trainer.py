@@ -99,9 +99,11 @@ def fit(params: Dict[str, jax.Array],
     low-opacity splats are pruned and their slots refilled with clones /
     splits of the highest-pressure splats. Capacity is static (pad the
     pytree with densify.pad_params beforehand to leave headroom). At each
-    densify event Adam moments are zeroed ONLY at slots whose contents
-    changed identity (pruned/refilled/split) — untouched splats keep their
-    momentum history (densify.reset_opt_slots)."""
+    densify event the optimizer state follows DensifyConfig.opt_reset:
+    "slots" (default) zeroes Adam moments only at changed slots so
+    untouched splats keep their momentum; "all" re-initializes everything
+    including the step count (a bias-correction learning-rate kick — see
+    the measured tradeoff in DensifyConfig)."""
     from fourdgs.train import densify as D
 
     frames = list(frames)
@@ -139,8 +141,11 @@ def fit(params: Dict[str, jax.Array],
             if (i + 1) % densify_every == 0 and i + 1 < densify_until * steps:
                 key, sub = jax.random.split(key)
                 params, dstate, info = densify_jit(params, dstate, sub)
-                opt_state = D.reset_opt_slots(
-                    opt_state, info["changed"], n)
+                if densify_cfg.opt_reset == "all":
+                    opt_state = opt.init(params)
+                else:
+                    opt_state = D.reset_opt_slots(
+                        opt_state, info["changed"], n)
                 if metrics is not None:
                     metrics.log("densify", step=i,
                                 n_pruned=int(info["n_pruned"]),
