@@ -54,7 +54,7 @@ def main() -> int:
     tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
     slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 384))
     budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
-    compact = int(os.environ.get("FOURDGS_BENCH_COMPACT", 64))
+    compact_env = os.environ.get("FOURDGS_BENCH_COMPACT")
     big_budget = int(os.environ.get("FOURDGS_BENCH_BIG_BUDGET", 16))
     # Mirrors the shipped bench.py configuration EXACTLY (converged banded
     # tail; BENCH vs BENCH_FULL are reconcilable by construction —
@@ -65,7 +65,7 @@ def main() -> int:
                        backend=backend,
                        max_splats_per_tile=slab, max_tiles_per_splat=budget,
                        splat_chunk=128, quantized_depth_sort=on_tpu,
-                       sort_compact_keep_cols=compact if on_tpu else 0,
+                       sort_compact_keep_cols=64 if on_tpu else 0,
                        big_splat_budget=big_budget if on_tpu else 0,
                        deepening_fraction=1.0,
                        compact_backend="pallas" if on_tpu else "xla",
@@ -80,7 +80,15 @@ def main() -> int:
         from bench import _force
         from fourdgs.splats.packed import morton_order
         params = _force(morton_order(build_cube_scene(n)))
-        render = jax.jit(lambda s: render_params4d_packed(s, camera, 0.0, cfg=cfg))
+        # per-size compaction keep (see bench.py: live fraction scales
+        # inversely with scene size under the per-tile prune)
+        compact = int(compact_env) if compact_env else (
+            64 if n >= 2_000_000 else 192)
+        import dataclasses as _dc
+        cfg_n = _dc.replace(cfg, sort_compact_keep_cols=(compact
+                                                         if on_tpu else 0))
+        render = jax.jit(
+            lambda s: render_params4d_packed(s, camera, 0.0, cfg=cfg_n))
         fwd = timed(render, params)
         print(json.dumps({
             "metric": f"forward frame @{n} splats {width}x{height} ({backend})",
@@ -88,8 +96,8 @@ def main() -> int:
             "splats_per_s": round(n / fwd / 1e6, 1)}), flush=True)
 
         # --- bwd/fwd ratio at every size (incl. 10M, roadmap item 3) ----
-        def loss(p):
-            img = render_params4d_packed(p, camera, 0.0, cfg=cfg)
+        def loss(p, cfg_n=cfg_n):
+            img = render_params4d_packed(p, camera, 0.0, cfg=cfg_n)
             return jnp.mean(img[..., :3] ** 2)
         try:
             grad = jax.jit(jax.grad(loss))
