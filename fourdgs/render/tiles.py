@@ -257,8 +257,10 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
       tile-major, front-to-back order. Depth ties within ~6 significant
       digits break by splat index (the reference's radix sort breaks exact
       ties the same way, drawn mirror-ordered; visually indistinguishable).
-      Requires num_tiles < 2^11 - 1 (true for 1080p at 8x128 tiles); callers
-      fall back to the exact path otherwise.
+      A single call requires num_tiles < 2^11 - 1 (the key's tile-id
+      budget); images beyond that render as tile-row bands via
+      `tile_row_band` (render/pipeline.py) — the resolution ceiling is
+      gone (4K = 2 bands).
     """
     ny, nx = tile_grid(width, height, tile_h, tile_w)
     num_tiles = ny * nx
