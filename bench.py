@@ -76,7 +76,12 @@ def bench_setup():
     slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 384))
     passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
     tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
-    budget = int(os.environ.get("FOURDGS_BENCH_BUDGET", 4))
+    # Pair budget scales with resolution: the same scene's footprints span
+    # proportionally more tiles at 4K, so the 1080p default (4) overflows
+    # there — loss-free 4K needs 8 (ROADMAP r4 #6). Explicit env wins.
+    res_scale = max(width / 1920.0, height / 1088.0, 1.0)
+    budget = int(os.environ.get("FOURDGS_BENCH_BUDGET",
+                                -(-4 * res_scale // 1)))
     # Compaction keep scales with the live-pair fraction: the prune cap
     # is per-tile, so SMALLER scenes keep a LARGER fraction of their slots
     # (at 200K only ~15% of slots die vs ~96% at 10M) — a fixed keep=64
@@ -98,8 +103,12 @@ def bench_setup():
         else "2560").split(",") if x)
     tail = os.environ.get("FOURDGS_BENCH_TAIL", "banded")  # off | banded
     tail_bands = int(os.environ.get("FOURDGS_BENCH_TAIL_BANDS", 8))
+    # 16x16-px coarse blocks: halving the tail's sample count vs 8x16
+    # costs no measurable parity error (within-band OIT mixing dominates
+    # the tail envelope, not sample resolution — measured at the 1M gate:
+    # mean|err| 0.0215 vs 0.0201, p99 0.267 vs 0.257) and saves ~3 ms.
     tail_block = tuple(int(x) for x in os.environ.get(
-        "FOURDGS_BENCH_TAIL_BLOCK", "8,16").split(","))
+        "FOURDGS_BENCH_TAIL_BLOCK", "16,16").split(","))
     tail_chunk = int(os.environ.get("FOURDGS_BENCH_TAIL_CHUNK", 2048))
     prune_safety = float(os.environ.get("FOURDGS_BENCH_PRUNE_SAFETY",
                                         1.2 if tail == "banded" else 2.0))

@@ -58,34 +58,45 @@ _C_R, _C_G, _C_B, _C_AEFF = 6, 7, 8, 9
 ALPHA_MAX = 1.0 - 1e-6
 
 
-def record_fields(proj, p00, p11) -> jax.Array:
+def record_fields(proj, p00, p11, pad_to: int | None = None) -> jax.Array:
     """(N_FIELDS, N) kernel record field matrix for every projected splat.
 
     a_eff premultiplies color alpha, temporal opacity and the frustum-cull
     flag, so the kernel's alpha is a_eff * exp(-q/2) under the coverage
     clip. Centers are stored in k units (NDC offset over the projection
-    diagonal), matching the kernel's pixel coordinates."""
+    diagonal), matching the kernel's pixel coordinates.
+
+    With pad_to (a multiple of 1024), the matrix is (N_FIELDS, pad_to)
+    with zero tail columns, built by the pack_pallas repack kernel —
+    jnp.stack costs XLA one relayout loop per row at bench scale
+    (~6.6 ms/frame at 10M; see ops/pack_pallas.py)."""
     dtype = proj.mx.dtype
     a_eff = proj.opacity * proj.a * proj.valid.astype(dtype)
-    return jnp.stack([
+    rows = [
         proj.mx / p00,
         proj.my / p11,
         proj.v0x, proj.v0y,
         1.0 / proj.l0, 1.0 / proj.l1,
         proj.r, proj.g, proj.b,
         a_eff,
-    ], axis=0)                                        # (10, N)
+    ]
+    if pad_to is not None:
+        from fourdgs.ops.pack_pallas import pack_rows
+        return pack_rows(rows, pad_to)                # (10, pad_to)
+    return jnp.stack(rows, axis=0)                    # (10, N)
 
 
 N_FIELDS = 10
 
 
 def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
-                 p00, p11) -> jax.Array:
+                 p00, p11, rec: jax.Array | None = None) -> jax.Array:
     """Gather per-tile splat records into the kernel layout (T, F, M);
-    tile_live additionally zeroes a_eff for dead list entries."""
+    tile_live additionally zeroes a_eff for dead list entries. `rec`
+    passes a precomputed record_fields matrix (shared with the tail)."""
     dtype = proj.mx.dtype
-    rec = record_fields(proj, p00, p11)
+    if rec is None:
+        rec = record_fields(proj, p00, p11)
     # (T, F, M): M rides the 128-aligned lane axis in VMEM, so the kernel's
     # chunk loads are tile-granular lane slices (the only dynamic-ish slicing
     # Mosaic lowers cleanly). Gather only the N_FIELDS real rows and pad the

@@ -60,6 +60,7 @@ from jax.experimental.pallas import tpu as pltpu
 from fourdgs.render.tiles import QUANT_DEPTH_BITS
 
 ALPHA_MAX = 1.0 - 1e-6
+_QSCALE = float(np.sqrt(32.0))    # folds exp(-0.5 * 64 * q) into the prescale
 N_PLANES = 6                      # A, Ar, Ag, Ab, A2, L
 _P_A, _P_AR, _P_AG, _P_AB, _P_A2, _P_L = range(N_PLANES)
 
@@ -82,11 +83,18 @@ def tail_meta(alive, tx0, tx1, ty0, ty1, dbits, chunk: int):
     IN-KERNEL via tail_accumulate's (budget_lo, budget] statics, so one
     meta array serves both streams (and the big-tier gather). Arrays are
     padded to a `chunk` multiple with dead entries."""
+    from fourdgs.ops.pack_pallas import pack_rows
     n = tx0.shape[0]
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     span = jnp.where(alive, span, 0)
-    meta = jnp.stack([tx0, tx1, ty0, ty1, dbits, span]).astype(jnp.int32)
+    rows = [r.astype(jnp.int32) for r in (tx0, tx1, ty0, ty1, dbits, span)]
     npad = _ceil_to(n, chunk)
+    if npad % 1024 == 0:
+        # Repack kernel: avoids 6 XLA relayout loops (~3 ms at the 10M
+        # bench) — see ops/pack_pallas.py. Padded tail columns are dead
+        # (span 0).
+        return pack_rows(rows, npad)
+    meta = jnp.stack(rows)
     if npad != n:
         meta = jnp.pad(meta, ((0, 0), (0, npad - n)))
     return meta
@@ -192,8 +200,8 @@ def combine_bands(acc):
 
 def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
                  cut_ref, fields_ref, meta_ref, acc_ref, planes_ref,
-                 ltx_ref, *, chunk: int, budget: int, budget_lo: int,
-                 nx: int, ny_pad: int, s_cy: int, s_cx: int,
+                 ltx_ref, *, chunk: int, budget: int,
+                 budget_lo: int, nx: int, ny_pad: int, s_cy: int, s_cx: int,
                  rows_per_band: int):
     """One grid step = one chunk of `chunk` splats.
 
@@ -276,6 +284,9 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
         # eval below reads STATIC ref slices instead of recomputing the
         # slot walk (vector integer divide) and the 16-shuffle cut lookup
         # per sub-block (measured ~4 ms/frame of duplicate work).
+        # (A rect-bounded pl.when skip of unused cut rows was measured
+        # SLOWER — ~5 ms/frame of branch + scratch-RMW machinery at
+        # chunk granularity; the 16 register-resident shuffles win.)
         ltx_ref[0:1, :] = live_c.astype(jnp.int32)
         ltx_ref[1:2, :] = tx_c
         ltx_ref[2:3, :] = ty_c
@@ -311,8 +322,11 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
             c1 = bx2 * v0y * v0y + by2 * v0x * v0x
             m0 = jax.lax.rsqrt(1.0 + c0 * il0 * il0)
             m1 = jax.lax.rsqrt(1.0 + c1 * il1 * il1)
-            il0w = il0 * m0
-            il1w = il1 * m1
+            # _QSCALE folds the exponent's 64 * 0.5 factor into the
+            # pair-space prescale: w = exp(-(n0^2 + n1^2)) — two fewer
+            # sample-space ops on the hottest loop in the frame.
+            il0w = il0 * m0 * _QSCALE
+            il1w = il1 * m1 * _QSCALE
             gate = gate * (m0 * m1)
 
             kxs = kx_t * tx.astype(jnp.float32) + kx_off  # (n_samp, SUB)
@@ -321,8 +335,7 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
             dy = kys - sy
             n0 = (v0x * dx + v0y * dy) * il0w
             n1 = (v0y * dx - v0x * dy) * il1w
-            q = 64.0 * (n0 * n0 + n1 * n1)
-            w = jnp.exp(-0.5 * q)
+            w = jnp.exp(-(n0 * n0 + n1 * n1))
             # Tail-grade coverage: the quad clip |n| <= 0.5 trims the
             # w >= 1e-4 ellipse's corners (both bounds are ~3e-4-alpha
             # fringe); the head applies the exact clip, the tail keeps
@@ -487,8 +500,8 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
                                                     for i in range(8)]
     m0 = 1.0 / jnp.sqrt(1.0 + (bx2 * v0x ** 2 + by2 * v0y ** 2) * il0 ** 2)
     m1 = 1.0 / jnp.sqrt(1.0 + (bx2 * v0y ** 2 + by2 * v0x ** 2) * il1 ** 2)
-    il0w = il0 * m0
-    il1w = il1 * m1
+    il0w = il0 * m0 * _QSCALE
+    il1w = il1 * m1 * _QSCALE
     mass = m0 * m1                      # mass-preserving widening
     band_full = jnp.repeat(band, chunk)
     nx_span = tx1 - tx0 + 1
@@ -514,8 +527,7 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
         dy = kys - sy[:, None]
         n0 = (v0x[:, None] * dx + v0y[:, None] * dy) * il0w[:, None]
         n1 = (v0y[:, None] * dx - v0x[:, None] * dy) * il1w[:, None]
-        q = 64.0 * (n0 * n0 + n1 * n1)
-        w = jnp.exp(-0.5 * q)
+        w = jnp.exp(-(n0 * n0 + n1 * n1))
         # Mirrors the kernel's tail-grade coverage (weight floor only).
         alpha = jnp.minimum(jnp.where(w >= 1e-4, gate[:, None] * w, 0.0),
                             ALPHA_MAX)
@@ -546,9 +558,9 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
 
 def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
                      params_ref, cut_ref, fields_ref, meta_ref, dacc_ref,
-                     df_ref, dpl_ref, ltx_ref, *, chunk: int, budget: int,
-                     budget_lo: int, nx: int, ny_pad: int, s_cy: int,
-                     s_cx: int, rows_per_band: int):
+                     df_ref, dpl_ref, ltx_ref, *, chunk: int,
+                     budget: int, budget_lo: int, nx: int, ny_pad: int,
+                     s_cy: int, s_cx: int, rows_per_band: int):
     g = pl.program_id(0)
     n_samp = s_cy * s_cx
 
@@ -679,8 +691,10 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             u1 = 1.0 + c1 * il1 * il1
             m0 = jax.lax.rsqrt(u0)
             m1 = jax.lax.rsqrt(u1)
-            il0w = il0 * m0
-            il1w = il1 * m1
+            # Scaled prescale (matches the forward): n are in sqrt(32)
+            # units, w = exp(-(n0^2 + n1^2)).
+            il0w = il0 * m0 * _QSCALE
+            il1w = il1 * m1 * _QSCALE
             ga = livef * a_eff
             gate = ga * (m0 * m1)
 
@@ -692,8 +706,7 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             e1 = v0y * dx - v0x * dy
             n0 = e0 * il0w
             n1 = e1 * il1w
-            q = 64.0 * (n0 * n0 + n1 * n1)
-            w = jnp.exp(-0.5 * q)
+            w = jnp.exp(-(n0 * n0 + n1 * n1))
             aw = gate * w
             alpha = jnp.minimum(jnp.where(w >= 1e-4, aw, 0.0), ALPHA_MAX)
 
@@ -711,15 +724,17 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             d_aw = d_alpha * live_d
             d_gate = jnp.sum(d_aw * w, axis=0, keepdims=True)   # (1, SUB)
             dw = d_aw * gate
-            dq = dw * w * (-0.5)
-            dn0 = 128.0 * n0 * dq
-            dn1 = 128.0 * n1 * dq
+            dqn = dw * w * (-2.0)          # d w / d n_i = -2 n_i w
+            dn0 = n0 * dqn
+            dn1 = n1 * dqn
             d_dx = dn0 * v0x * il0w + dn1 * v0y * il1w
             d_dy = dn0 * v0y * il0w - dn1 * v0x * il1w
             d_sx = -jnp.sum(d_dx, axis=0, keepdims=True)
             d_sy = -jnp.sum(d_dy, axis=0, keepdims=True)
-            d_il0w = jnp.sum(dn0 * e0, axis=0, keepdims=True)
-            d_il1w = jnp.sum(dn1 * e1, axis=0, keepdims=True)
+            # Cotangents of the UNSCALED il0*m0 basis: n = e * il*m*S, so
+            # d(il*m) = S * sum(dn * e).
+            d_il0w = _QSCALE * jnp.sum(dn0 * e0, axis=0, keepdims=True)
+            d_il1w = _QSCALE * jnp.sum(dn1 * e1, axis=0, keepdims=True)
             d_v0x_e = jnp.sum(dn0 * dx * il0w - dn1 * dy * il1w,
                               axis=0, keepdims=True)
             d_v0y_e = jnp.sum(dn0 * dy * il0w + dn1 * dx * il1w,

@@ -347,7 +347,8 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     """
     from fourdgs.ops.composite_pallas import (composite_records,
                                               composite_records_at,
-                                              identity_carry, pack_records)
+                                              identity_carry, pack_records,
+                                              record_fields)
     m = cfg.max_splats_per_tile
     dtype = px.dtype
     t_tiles, p = px.shape
@@ -362,10 +363,21 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     ky = (py / p11).reshape(t_tiles, 1, p)
     arange_m = jnp.arange(m, dtype=jnp.int32)
 
+    # ONE record-field matrix serves the head's strip gather AND the tail
+    # kernel's field stream. Padded to the tail-chunk multiple through the
+    # repack kernel when the tile volume allows (ops/pack_pallas.py) —
+    # jnp.stack costs a relayout loop per row at 10M scale.
+    rec_shared = None
+    if cfg.tail_mode == "banded" and binning.prune_cut is not None:
+        n_splats = proj.mx.shape[0]
+        npts = -(-n_splats // cfg.tail_chunk) * cfg.tail_chunk
+        rec_shared = record_fields(
+            proj, p00, p11, pad_to=npts if npts % 1024 == 0 else None)
+
     with jax.named_scope("pass1_pack"):
         rows0 = _gather_pair_rows(pair_pad, starts, m)
         live0 = arange_m[None, :] < counts_full[:, None]
-        rec0 = pack_records(proj, rows0, live0, p00, p11)
+        rec0 = pack_records(proj, rows0, live0, p00, p11, rec=rec_shared)
     with jax.named_scope("pass1_kernel"):
         out = composite_records(rec0,
                                 jnp.minimum(counts_full, m).astype(jnp.int32),
@@ -388,7 +400,8 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
             w_img, h_img = image_size
             out = _apply_banded_tail(out, proj, binning, p00, p11, cfg,
                                      w_img, h_img,
-                                     tile_row_band=tile_row_band)
+                                     tile_row_band=tile_row_band,
+                                     fields=rec_shared)
         schedule = ()
     else:
         schedule = cfg.deepening_schedule or (m,) * (cfg.deepening_passes - 1)
@@ -444,7 +457,7 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
 
 def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
                        cfg: RenderConfig, w: int, h: int,
-                       tile_row_band=None):
+                       tile_row_band=None, fields=None):
     """Composite every pair beyond the per-tile prune cut into the carry.
 
     Streams the full splat set through the banded-OIT coarse tail kernel
@@ -470,7 +483,8 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
         ty0 = jnp.clip(ty0 - ty_base, 0, ny - 1)
         ty1 = jnp.clip(ty1 - ty_base, 0, ny - 1)
     dbits = quantized_depth_bits(proj.depth)
-    fields = record_fields(proj, p00, p11)                 # (10, N)
+    if fields is None:
+        fields = record_fields(proj, p00, p11)             # (10, N)
     cut = binning.prune_cut
     k_bands = cfg.tail_bands
 

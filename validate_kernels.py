@@ -308,7 +308,7 @@ def check_tail_parity():
                             depth_prune_cap=384, depth_prune_safety=1.2,
                             deepening_fraction=1.0,
                             tail_mode="banded", tail_bands=8,
-                            tail_block=(8, 16))
+                            tail_block=(16, 16))
     img_x, aux_x = jax.jit(lambda p: render_params4d_packed(
         p, cam, 0.0, cfg=cfg_exact, return_aux=True))(params)
     img_t, aux_t = jax.jit(lambda p: render_params4d_packed(
