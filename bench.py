@@ -19,6 +19,7 @@ FOURDGS_BENCH_BACKEND (pallas|xla), FOURDGS_BENCH_REPS.
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -81,7 +82,7 @@ def bench_setup():
     # there — loss-free 4K needs 8 (ROADMAP r4 #6). Explicit env wins.
     res_scale = max(width / 1920.0, height / 1088.0, 1.0)
     budget = int(os.environ.get("FOURDGS_BENCH_BUDGET",
-                                -(-4 * res_scale // 1)))
+                                math.ceil(4 * res_scale)))
     # Compaction keep scales with the live-pair fraction: the prune cap
     # is per-tile, so SMALLER scenes keep a LARGER fraction of their slots
     # (at 200K only ~15% of slots die vs ~96% at 10M) — a fixed keep=64

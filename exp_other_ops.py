@@ -35,7 +35,12 @@ def main():
         name = e["name"]
         path = scopes.get(name) or scopes.get(name.split(".")[0], "")
         label = classify(path)
-        if label not in (sys.argv[1] if len(sys.argv) > 1 else "other"):
+        # Exact-match against a comma-separated label set (substring
+        # membership falsely kept any label that happened to be a
+        # substring of the filter string — ADVICE r4).
+        wanted = set((sys.argv[1] if len(sys.argv) > 1 else "other")
+                     .split(","))
+        if label not in wanted:
             continue
         ms[name] += e["dur"] / 1e3 / reps
         by[name] += int(e.get("args", {}).get("bytes_accessed", 0)) / 1e9 / reps

@@ -29,7 +29,9 @@ This kernel instead processes the tail with ZERO sorting and ZERO gathers:
     ((Ar..)/A weighting). The alpha channel uses A2/A to match the head
     kernel's sum(alpha^2 T) semantics.
   * Evaluation is at COARSE samples — one per (by x bx)-pixel block
-    (RenderConfig.tail_block; the shipped bench uses 8x16), with the
+    (RenderConfig.tail_block; the shipped bench uses 16x16 — halving the
+    sample count vs 8x16 costs no measurable parity error, see the
+    tail_block note in bench.py), with the
     splat's footprint analytically widened by the block's box-filter
     variance at preserved mass (no aliasing for any splat size; the tail
     field is then bilinearly upsampled and blended under the head's
