@@ -18,8 +18,8 @@ FOURDGS_BENCH_BACKEND (pallas|xla), FOURDGS_BENCH_REPS.
 
 from __future__ import annotations
 
+import dataclasses
 import json
-import math
 import os
 import sys
 import time
@@ -74,103 +74,88 @@ def bench_setup():
     height = int(os.environ.get("FOURDGS_BENCH_HEIGHT", 1088))  # 1080p, tile-padded
     backend = os.environ.get("FOURDGS_BENCH_BACKEND", "pallas")
     reps = int(os.environ.get("FOURDGS_BENCH_REPS", 10))
-    slab = int(os.environ.get("FOURDGS_BENCH_SLAB", 384))
-    passes = int(os.environ.get("FOURDGS_BENCH_PASSES", 6))
-    tile_h = int(os.environ.get("FOURDGS_BENCH_TILE_H", 16))
-    # Pair budget scales with resolution: the same scene's footprints span
-    # proportionally more tiles at 4K, so the 1080p default (4) overflows
-    # there — loss-free 4K needs 8 (ROADMAP r4 #6). Explicit env wins.
-    res_scale = max(width / 1920.0, height / 1088.0, 1.0)
-    budget = int(os.environ.get("FOURDGS_BENCH_BUDGET",
-                                math.ceil(4 * res_scale)))
-    # Compaction keep scales with the live-pair fraction: the prune cap
-    # is per-tile, so SMALLER scenes keep a LARGER fraction of their slots
-    # (at 200K only ~15% of slots die vs ~96% at 10M) — a fixed keep=64
-    # drops real pairs there (loud via compact_dropped; measured 23.8K at
-    # 200K splats).
-    n_for_keep = int(os.environ.get("FOURDGS_BENCH_SPLATS", 10_000_000))
-    compact = int(os.environ.get(
-        "FOURDGS_BENCH_COMPACT", 64 if n_for_keep >= 2_000_000 else 192))
-    big_budget = int(os.environ.get("FOURDGS_BENCH_BIG_BUDGET", 16))
-    big_keep = int(os.environ.get("FOURDGS_BENCH_BIGKEEP", 128))
-    sort_backend = os.environ.get("FOURDGS_BENCH_SORT", "xla")
-    compact_backend = os.environ.get("FOURDGS_BENCH_COMPACT_BACKEND", "pallas")
-    row_len = int(os.environ.get("FOURDGS_BENCH_ROWLEN", 512))
-    prune = int(os.environ.get("FOURDGS_BENCH_PRUNE", 384))  # 0=off else cap
-    fraction = float(os.environ.get("FOURDGS_BENCH_FRACTION", 0.34))
-    schedule = tuple(int(x) for x in os.environ.get(
-        "FOURDGS_BENCH_SCHEDULE",
-        "" if os.environ.get("FOURDGS_BENCH_TAIL", "banded") == "banded"
-        else "2560").split(",") if x)
     tail = os.environ.get("FOURDGS_BENCH_TAIL", "banded")  # off | banded
-    tail_bands = int(os.environ.get("FOURDGS_BENCH_TAIL_BANDS", 8))
-    # 16x16-px coarse blocks: halving the tail's sample count vs 8x16
-    # costs no measurable parity error (within-band OIT mixing dominates
-    # the tail envelope, not sample resolution — measured at the 1M gate:
-    # mean|err| 0.0215 vs 0.0201, p99 0.267 vs 0.257) and saves ~3 ms.
-    tail_block = tuple(int(x) for x in os.environ.get(
-        "FOURDGS_BENCH_TAIL_BLOCK", "16,16").split(","))
-    tail_chunk = int(os.environ.get("FOURDGS_BENCH_TAIL_CHUNK", 2048))
-    prune_safety = float(os.environ.get("FOURDGS_BENCH_PRUNE_SAFETY",
-                                        1.2 if tail == "banded" else 2.0))
 
     import jax
 
     from fourdgs.core.camera import Camera
+    from fourdgs.render.autoconfig import auto_render_config
     from fourdgs.render.pipeline import RenderConfig, render_params4d_packed
 
     on_tpu = jax.default_backend() == "tpu"
     if not on_tpu and "FOURDGS_BENCH_SPLATS" not in os.environ:
         n = 200_000  # keep CPU smoke runs tractable
 
+    # The config derives from the library's auto-configuration (VERDICT r4
+    # weak #7: the scale heuristics — resolution-scaled pair budget,
+    # scene-size-scaled compaction keep — now live in
+    # fourdgs/render/autoconfig.py, not here). Env knobs override only
+    # when explicitly set.
+    _env_over = {
+        "FOURDGS_BENCH_SLAB": ("max_splats_per_tile", int),
+        "FOURDGS_BENCH_BUDGET": ("max_tiles_per_splat", int),
+        "FOURDGS_BENCH_PASSES": ("deepening_passes", int),
+        "FOURDGS_BENCH_TILE_H": ("tile_h", int),
+        "FOURDGS_BENCH_COMPACT": ("sort_compact_keep_cols", int),
+        "FOURDGS_BENCH_BIG_BUDGET": ("big_splat_budget", int),
+        "FOURDGS_BENCH_BIGKEEP": ("big_splat_keep_cols", int),
+        "FOURDGS_BENCH_SORT": ("sort_backend", str),
+        "FOURDGS_BENCH_COMPACT_BACKEND": ("compact_backend", str),
+        "FOURDGS_BENCH_ROWLEN": ("compact_row_len", int),
+        "FOURDGS_BENCH_PRUNE": ("depth_prune_cap", int),
+        "FOURDGS_BENCH_FRACTION": ("deepening_fraction", float),
+        "FOURDGS_BENCH_TAIL_BANDS": ("tail_bands", int),
+        "FOURDGS_BENCH_TAIL_CHUNK": ("tail_chunk", int),
+        "FOURDGS_BENCH_TAIL_BETA": ("tail_depth_beta", float),
+        "FOURDGS_BENCH_TAIL_APOW": ("tail_alpha_power", int),
+        "FOURDGS_BENCH_PRUNE_SAFETY": ("depth_prune_safety", float),
+    }
+    overrides = {field: typ(os.environ[var])
+                 for var, (field, typ) in _env_over.items()
+                 if var in os.environ}
+    if "FOURDGS_BENCH_TAIL_BLOCK" in os.environ:
+        overrides["tail_block"] = tuple(
+            int(x) for x in os.environ["FOURDGS_BENCH_TAIL_BLOCK"].split(","))
+    if "FOURDGS_BENCH_SCHEDULE" in os.environ:
+        sched = tuple(int(x) for x in
+                      os.environ["FOURDGS_BENCH_SCHEDULE"].split(",") if x)
+        overrides["deepening_schedule"] = sched
+        overrides["deepening_passes"] = len(sched) + 1
+    if tail != "banded" and "deepening_schedule" not in overrides:
+        # Non-converged mode: one big second slab (r3 tuning).
+        overrides.setdefault("deepening_schedule", (2560,))
+        overrides.setdefault("deepening_passes", 2)
+
     params = build_cube_scene(n)
     if tail == "banded":
         # One-time scene-build reorder (splats/packed.morton_order): gives
         # the streaming tail kernel screen-tile locality. Not timed —
-        # mirrors the reference's one-time init() scene build.
-        from fourdgs.splats.packed import morton_order
-        params = morton_order(params)
+        # mirrors the reference's one-time init() scene build. The dead-pad
+        # to the tail-chunk multiple makes every derived field
+        # chunk-aligned, so the frame's internal pads become no-ops.
+        from fourdgs.splats.packed import morton_order, pad_packed_params
+        params = pad_packed_params(morton_order(params), 2048)
     params = _force(params)
 
     camera = Camera.create(position=(420.0, 300.0, 420.0),
                            orientation=(-1.0, -0.7, -1.0),
                            far=5000.0, width=width, height=height)
     if backend == "pallas":
-        cfg = RenderConfig(tile_h=tile_h, tile_w=128, backend="pallas",
-                           max_splats_per_tile=slab,
-                           max_tiles_per_splat=budget,
-                           splat_chunk=128, quantized_depth_sort=True,
-                           sort_compact_keep_cols=compact,
-                           big_splat_budget=big_budget,
-                           big_splat_keep_cols=big_keep,
-                           deepening_passes=(len(schedule) + 1 if schedule
-                                             else passes),
-                           deepening_fraction=fraction,
-                           deepening_schedule=schedule,
-                           sort_backend=sort_backend,
-                           compact_backend=compact_backend,
-                           compact_row_len=row_len,
-                           depth_prune_cap=prune,
-                           depth_prune_safety=prune_safety,
-                           tail_mode=tail,
-                           tail_bands=tail_bands,
-                           tail_block=tail_block,
-                           tail_chunk=tail_chunk)
+        cfg = auto_render_config(n, width, height,
+                                 converged=(tail == "banded"), **overrides)
+        if tail != "banded":
+            cfg = dataclasses.replace(cfg, tail_mode="off")
     else:
         cfg = RenderConfig(max_splats_per_tile=2048,
-                           max_tiles_per_splat=budget,
+                           max_tiles_per_splat=overrides.get(
+                               "max_tiles_per_splat", 4),
                            splat_chunk=128, quantized_depth_sort=True)
-
     render = jax.jit(lambda s, t: render_params4d_packed(s, camera, t, cfg=cfg,
                                                          return_aux=True))
     env = dict(n=n, width=width, height=height, backend=backend, reps=reps,
-               slab=slab, passes=passes, tile_h=tile_h, budget=budget,
-               compact=compact, big_budget=big_budget, big_keep=big_keep,
-               sort_backend=sort_backend, compact_backend=compact_backend,
-               row_len=row_len, prune=prune, fraction=fraction,
-               schedule=schedule, tail=tail, tail_bands=tail_bands,
-               tail_block=tail_block, tail_chunk=tail_chunk,
-               prune_safety=prune_safety)
+               tail=tail, cfg=str(cfg),
+               slab=cfg.max_splats_per_tile, budget=cfg.max_tiles_per_splat,
+               passes=cfg.deepening_passes, schedule=cfg.deepening_schedule)
     return render, params, env
 
 

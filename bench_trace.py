@@ -7,12 +7,12 @@ real compiled frame. This captures one `jax.profiler` trace of the exact
 bench workload (shared `bench.bench_setup()`), maps every device-side XLA op
 back to its pipeline stage through the compiled HLO's `op_name` metadata
 (the `jax.named_scope` markers in render/pipeline.py + render/tiles.py), and
-writes SOL_r04.json: per-stage device ms that SUM to the measured frame,
+writes SOL_r05.json: per-stage device ms that SUM to the measured frame,
 plus per-stage HBM bytes (from the profiler's `bytes_accessed`) and the
 implied bandwidth against the v5e peak (819 GB/s).
 
 Usage:  python bench_trace.py           (env knobs same as bench.py)
-Output: SOL_r04.json + a human table on stderr.
+Output: SOL_r05.json + a human table on stderr.
 """
 
 from __future__ import annotations
@@ -156,7 +156,7 @@ def main() -> int:
         "device_total_ms": round(total, 2),
         "stages": rows,
     }
-    with open("SOL_r04.json", "w") as f:
+    with open("SOL_r05.json", "w") as f:
         json.dump(out, f, indent=1)
     print(f"device total {total:.1f} ms over {len(rows)} stages",
           file=sys.stderr)

@@ -296,17 +296,43 @@ def _finish_level(k2d, v2d, blk_rows: int, run_out_rows: int,
     return out[0], out[1]
 
 
-def _rowsort_kernel(k_ref, v_ref, ok_ref, ov_ref, *, row_len: int,
-                    keep: int, cols: int, alternating: bool):
+def _rowsort_kernel(k_ref, v_ref, *refs, row_len: int,
+                    keep: int, cols: int, alternating: bool,
+                    key_shift: int):
     """Full bitonic sort of `cols` independent logical rows, each laid out
     along the SUBLANE axis of a (row_len, cols) block (the strided
     column-major view of the flat pair array — no transpose needed, unlike
     the XLA `lax.sort(dimension=1)` formulation). Every compare-exchange
     stride is a sublane roll. Writes only the first `keep` positions of
-    each sorted row (the compaction fused in)."""
+    each sorted row (the compaction fused in).
+
+    With a cut table (refs = [cut, ok, ov, live]) the per-tile depth-prune
+    cut is applied to the keys BEFORE sorting (key > cut[key >> shift] ->
+    DEAD) — fusing ops/lookup_pallas.apply_cutkeys' separate full
+    read+write pass over the 40M-slot array into this kernel's existing
+    read (~2.8 ms at the 10M bench). The extra `live` output row counts
+    the block's post-cut live slots per lane so callers can account
+    dropped pairs without re-reading anything."""
+    if len(refs) == 4:
+        cut_ref, ok_ref, ov_ref, live_ref = refs
+    else:
+        cut_ref, live_ref = None, None
+        ok_ref, ov_ref = refs
     k = k_ref[...]
     v = v_ref[...]
     s = row_len
+    if cut_ref is not None:
+        tid = jnp.clip(k >> key_shift, 0, 16 * 128 - 1)
+        hi = tid >> 7
+        lo = tid & 127
+        cutv = jnp.zeros(k.shape, jnp.int32)
+        for h in range(16):
+            rowb = jnp.broadcast_to(cut_ref[h:h + 1, :], k.shape)
+            got = jnp.take_along_axis(rowb, lo, axis=1)
+            cutv = jnp.where(hi == h, got, cutv)
+        k = jnp.where(k > cutv, DEAD, k)
+        live_ref[...] = jnp.sum((k != DEAD).astype(jnp.int32), axis=0,
+                                keepdims=True)
     iota_s = jax.lax.broadcasted_iota(jnp.int32, (s, cols), 0)
     if alternating:
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, cols), 1) \
@@ -346,6 +372,7 @@ ROWSORT_COLS = 128          # logical rows (lanes) per grid step
 
 def rowsort_compact(key: jax.Array, val: jax.Array, keep_cols: int,
                     row_len: int = 8192, alternating: bool = False,
+                    cut: jax.Array | None = None, key_shift: int = 20,
                     interpret: bool | None = None):
     """Pallas replacement for the XLA rowsort+keep of `compact_pairs`:
     sort `rows = ceil(S/row_len)` strided logical rows of the flat (S,) kv
@@ -355,6 +382,9 @@ def rowsort_compact(key: jax.Array, val: jax.Array, keep_cols: int,
     or transpose for the merge tree. row_len must be a power of two.
 
     alternating: row r (lane index) sorted descending for odd r.
+    cut: optional (T,) i32 per-tile prune cut keys, applied IN-KERNEL
+    before sorting (see _rowsort_kernel); `dropped` then counts live
+    pairs lost to the keep cap among the post-cut live set.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -370,9 +400,31 @@ def rowsort_compact(key: jax.Array, val: jax.Array, keep_cols: int,
     v2 = val.reshape(row_len, rows)
     kern = functools.partial(_rowsort_kernel, row_len=row_len,
                              keep=keep_cols, cols=ROWSORT_COLS,
-                             alternating=alternating)
+                             alternating=alternating, key_shift=key_shift)
     in_spec = pl.BlockSpec((row_len, ROWSORT_COLS), lambda i: (0, i))
     out_spec = pl.BlockSpec((keep_cols, ROWSORT_COLS), lambda i: (0, i))
+    if cut is not None:
+        tbl = jnp.concatenate(
+            [cut.astype(jnp.int32),
+             jnp.full((16 * 128 - cut.shape[0],), DEAD,
+                      jnp.int32)]).reshape(16, 128)
+        ok, ov, live_in = pl.pallas_call(
+            kern,
+            grid=(rows // ROWSORT_COLS,),
+            in_specs=[in_spec, in_spec,
+                      pl.BlockSpec((16, 128), lambda i: (0, 0))],
+            out_specs=[out_spec, out_spec,
+                       pl.BlockSpec((1, ROWSORT_COLS), lambda i: (0, i))],
+            out_shape=[jax.ShapeDtypeStruct((keep_cols, rows), jnp.int32),
+                       jax.ShapeDtypeStruct((keep_cols, rows), jnp.int32),
+                       jax.ShapeDtypeStruct((1, rows), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=_VMEM_LIMIT),
+            interpret=interpret,
+        )(k2, v2, tbl)
+        dropped = (jnp.sum(live_in)
+                   - jnp.sum((ok != DEAD).astype(jnp.int32)))
+        return ok, ov, dropped
     ok, ov = pl.pallas_call(
         kern,
         grid=(rows // ROWSORT_COLS,),

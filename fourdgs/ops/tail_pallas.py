@@ -78,27 +78,34 @@ def _ceil_to(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def tail_meta(alive, tx0, tx1, ty0, ty1, dbits, chunk: int):
+def tail_meta(alive, tx0, tx1, ty0, ty1, dbits, chunk: int,
+              return_rows: bool = False):
     """(6, Np) int32 meta operand: [tx0, tx1, ty0, ty1, dbits, raw span
     (0 for dead splats)]. The budget window — which spans a stream owns
     (main: span <= budget; big: budget < span <= big budget) — is applied
     IN-KERNEL via tail_accumulate's (budget_lo, budget] statics, so one
     meta array serves both streams (and the big-tier gather). Arrays are
-    padded to a `chunk` multiple with dead entries."""
+    padded to a `chunk` multiple with dead entries.
+
+    return_rows=True additionally returns the PADDED raw row tuple for
+    the fused tail_prepass kernel (sharing the pad work)."""
     from fourdgs.ops.pack_pallas import pack_rows
     n = tx0.shape[0]
     span = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
     span = jnp.where(alive, span, 0)
     rows = [r.astype(jnp.int32) for r in (tx0, tx1, ty0, ty1, dbits, span)]
     npad = _ceil_to(n, chunk)
+    if npad != n:
+        rows = [jnp.pad(r, (0, npad - n)) for r in rows]
     if npad % 1024 == 0:
         # Repack kernel: avoids 6 XLA relayout loops (~3 ms at the 10M
         # bench) — see ops/pack_pallas.py. Padded tail columns are dead
         # (span 0).
-        return pack_rows(rows, npad)
-    meta = jnp.stack(rows)
-    if npad != n:
-        meta = jnp.pad(meta, ((0, 0), (0, npad - n)))
+        meta = pack_rows(rows, npad)
+    else:
+        meta = jnp.stack(rows)
+    if return_rows:
+        return meta, tuple(rows)
     return meta
 
 
@@ -138,6 +145,184 @@ def step_bands_rects(meta, chunk: int, band_cuts, budget_lo: int = 0,
                    axis=1).astype(jnp.int32)
     rect = jnp.stack([txw, tyw, nwx, nwy], axis=1).astype(jnp.int32)
     return band, rect
+
+
+def step_slot_masks(meta, chunk: int, budget: int, budget_lo: int = 0,
+                    sub: int = 512):
+    """Per-step (slot, sub-block) liveness bitmask for in-kernel skipping.
+
+    Bit (s * nsub + j) of mask[step] is set iff ANY pair of the step's
+    j-th `sub`-wide block has span > max(s, budget_lo) (and span <=
+    budget) — a SUPERSET of the kernel's live condition (which further
+    gates on the cut table and the rect walk), so a zero bit proves the
+    (slot, sub-block) pass contributes nothing and the kernel skips its
+    evaluation (and, when a whole slot's bits are zero, the window
+    matmuls too). At the 10M bench ~30% of slot passes are provably dead
+    this way (span histogram: 42% span-1, 54% span-2, 4% span-4 — the
+    uniform budget walks every slot regardless).
+    """
+    span = meta[5]
+    nsub = max(1, chunk // sub)
+    sp = jnp.where((span > budget_lo) & (span <= budget), span, 0)
+    m = jnp.max(sp.reshape(-1, nsub, min(sub, chunk)), axis=2)  # (S, nsub)
+    mask = jnp.zeros((m.shape[0],), jnp.int32)
+    for s in range(budget):
+        if (s + 1) * nsub > 30:
+            break   # slots past the 30-bit budget stay always-live
+        bits = (m > max(s, budget_lo)).astype(jnp.int32)        # (S, nsub)
+        for j in range(nsub):
+            mask = mask | (bits[:, j] << (s * nsub + j))
+    return mask
+
+
+def _prepass_kernel(cuts_ref, *row_refs, chunk: int, budget: int,
+                    budget_lo: int, k_bands: int, nsub: int, sub: int):
+    """One grid step = one tail chunk: compute the step's window rect,
+    depth band and slot/sub-block liveness mask in a single read of the
+    raw meta rows (the XLA formulation re-read the packed meta matrix
+    once per reduction — ~3.5 ms/frame of slice+reduce fusions plus a
+    relayout `while` per row extraction at the 10M bench)."""
+    out_ref = row_refs[-1]
+    g = pl.program_id(0)
+
+    @pl.when(g == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    tx0 = row_refs[0][...].reshape(1, chunk)
+    tx1 = row_refs[1][...].reshape(1, chunk)
+    ty0 = row_refs[2][...].reshape(1, chunk)
+    ty1 = row_refs[3][...].reshape(1, chunk)
+    dbits = row_refs[4][...].reshape(1, chunk)
+    span = row_refs[5][...].reshape(1, chunk)
+    big = jnp.int32(np.iinfo(np.int32).max)
+
+    live = (span > budget_lo) & (span <= budget)
+    any_live = jnp.max(live.astype(jnp.int32)) > 0
+    mtx0 = jnp.min(jnp.where(live, tx0, big))
+    mty0 = jnp.min(jnp.where(live, ty0, big))
+    mtx1 = jnp.max(jnp.where(live, tx1, -1))
+    mty1 = jnp.max(jnp.where(live, ty1, -1))
+    zero = jnp.int32(0)
+    mtx0 = jnp.where(any_live, mtx0, zero)
+    mty0 = jnp.where(any_live, mty0, zero)
+    mtx1 = jnp.where(any_live, mtx1, zero)
+    mty1 = jnp.where(any_live, mty1, zero)
+    txw = mtx0
+    tyw = (mty0 // 8) * 8
+    nwx = (mtx1 - txw) // WIN_TX + 1
+    nwy = (mty1 - tyw) // WIN_TY + 1
+
+    d_sum = jnp.sum(jnp.where(live, dbits, 0))
+    d_cnt = jnp.maximum(jnp.sum(live.astype(jnp.int32)), 1)
+    d_mean = d_sum // d_cnt
+    cuts = cuts_ref[0:1, :]                                  # (1, 128)
+    kiota = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+    band = jnp.sum(jnp.where(kiota < k_bands - 1,
+                             ((-d_mean) >= cuts).astype(jnp.int32), 0))
+
+    # Per-(slot, sub-block) liveness bits (see step_slot_masks).
+    spw = jnp.where(live, span, 0).reshape(nsub, sub)
+    msub = jnp.max(spw, axis=1, keepdims=True)               # (nsub, 1)
+    mask = jnp.int32(0)
+    for s in range(budget):
+        if (s + 1) * nsub > 30:
+            break
+        thresh = max(s, budget_lo)
+        for j in range(nsub):
+            bit = (msub[j, 0] > thresh).astype(jnp.int32)
+            mask = mask | (bit << (s * nsub + j))
+
+    def put(col, val):
+        out_ref[pl.ds(g, 1), col:col + 1] = val.reshape(1, 1)
+    put(0, band)
+    put(1, txw)
+    put(2, tyw)
+    put(3, nwx)
+    put(4, nwy)
+    put(5, mask)
+
+
+def tail_prepass(rows, band_cuts, chunk: int, budget: int,
+                 budget_lo: int = 0, k_bands: int = 8,
+                 interpret: bool | None = None):
+    """Fused per-step prepass over the RAW padded meta rows: returns
+    (band (S,), rect (S, 4), slot_mask (S,)) in one pass over the rows —
+    replaces step_bands_rects + step_slot_masks on the hot path. `rows`
+    is the 6-tuple of (Np,) i32 arrays [tx0, tx1, ty0, ty1, dbits, span]
+    (Np a multiple of chunk); band_cuts (K-1,) as from global_band_cuts.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    npts = rows[0].shape[0]
+    steps = npts // chunk
+    assert steps * chunk == npts, (npts, chunk)
+    sub = min(512, chunk)
+    nsub = chunk // sub
+    cuts_pad = jnp.zeros((1, 128), jnp.int32).at[0, :band_cuts.shape[0]].set(
+        band_cuts.astype(jnp.int32))
+    views = tuple(r.reshape(npts // 128, 128) for r in rows)
+    kern = functools.partial(_prepass_kernel, chunk=chunk, budget=budget,
+                             budget_lo=budget_lo, k_bands=k_bands,
+                             nsub=nsub, sub=sub)
+    out = pl.pallas_call(
+        kern,
+        grid=(steps,),
+        in_specs=[pl.BlockSpec((1, 128), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((chunk // 128, 128), lambda g: (g, 0),
+                        memory_space=pltpu.VMEM)] * 6,
+        # The whole (steps, 128) stat table stays VMEM-resident across
+        # grid steps (a (1, 128) per-step output block would violate the
+        # 8-sublane blocking rule); each step row-stores its 6 stats.
+        out_specs=pl.BlockSpec((steps, 128), lambda g: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((steps, 128), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(cuts_pad, *views)
+    band = out[:, 0]
+    rect = out[:, 1:5]
+    mask = out[:, 5]
+    return band, rect, mask
+
+
+def band_weight_coeffs(band_cuts, d_lo, d_hi, k_bands: int, beta: float):
+    """Per-band affine exponent coefficients for the within-band depth
+    weighting: pair weight w_d = exp(clip(a[band] * dbits + b[band], 0,
+    _WD_CAP)), rising from 1 at the band's FAR edge to e^beta at its NEAR
+    edge. Within a band the OIT color mix becomes a depth-biased weighted
+    mean — near (occluding) pairs dominate, which is the exact-composite
+    behavior the plain mean loses on opaque-core splats (VERDICT r4
+    missing #2). beta=0 disables (w_d == 1 exactly).
+
+    band_cuts are the ascending NEGATED-dbit quantiles from
+    global_band_cuts; d_lo/d_hi are live-dbit extremes (see
+    global_band_extremes). Returns (K, 2) f32 [a, b] rows."""
+    lo_edges = jnp.concatenate(
+        [-band_cuts, jnp.asarray([d_lo], band_cuts.dtype)])     # (K,) far
+    hi_edges = jnp.concatenate(
+        [jnp.asarray([d_hi], band_cuts.dtype), -band_cuts])     # (K,) near
+    lo = jnp.minimum(lo_edges, hi_edges).astype(jnp.float32)
+    hi = jnp.maximum(lo_edges, hi_edges).astype(jnp.float32)
+    a = beta / jnp.maximum(hi - lo, 1.0)
+    b = -a * lo
+    return jnp.stack([a, b], axis=1)                            # (K, 2)
+
+
+_WD_CAP = 25.0   # exponent clip: w_d <= e^25 ~ 7e10 (f32/bf16-safe sums)
+
+
+def global_band_extremes(sample_keys):
+    """(d_lo, d_hi) live-dbit extremes of a key sample (dead = int32 max),
+    for band_weight_coeffs' open-ended first/last bands."""
+    dead = jnp.iinfo(jnp.int32).max
+    d = sample_keys & ((1 << QUANT_DEPTH_BITS) - 1)
+    live = sample_keys != dead
+    d_lo = jnp.min(jnp.where(live, d, (1 << QUANT_DEPTH_BITS) - 1))
+    d_hi = jnp.max(jnp.where(live, d, 0))
+    return d_lo, d_hi
 
 
 def global_band_cuts(sample_keys, k_bands: int):
@@ -200,16 +385,57 @@ def combine_bands(acc):
     return rgb, alpha, t_run[:, -1]
 
 
-def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
+def fold_upsample_tail(acc, k_bands: int, nx: int, ny: int, tile_h: int,
+                       tile_w: int, s_cy: int, s_cx: int, dtype):
+    """Fold the (rows, cols) band accumulator into a full-resolution tail
+    field: returns (ny*nx, 5, tile_h*tile_w) [r, g, b, a, trans].
+
+    The bilinear upsample runs on the GLOBAL coarse image (not per tile),
+    so the tail field is smooth across tile borders — shared by the
+    single-chip pipeline and the distributed converged path (which psums
+    the additive accumulator first; VERDICT r4 weak #4: the per-tile
+    upsample left seams at tile borders)."""
+    n_samp = s_cy * s_cx
+    ny_pad = _ceil_to(ny + WIN_TY, 8)
+    acc_r = acc.reshape(k_bands, nx, ny_pad, N_PLANES, n_samp)[:, :, :ny]
+    acc_t = acc_r.transpose(2, 1, 0, 3, 4).reshape(
+        ny * nx, k_bands, N_PLANES, n_samp)
+    rgb_c, alpha_c, trans_c = combine_bands(acc_t)
+    coarse = jnp.concatenate(
+        [rgb_c, alpha_c[:, None], trans_c[:, None]], axis=1)     # (T, 5, S)
+    img_c = coarse.reshape(ny, nx, 5, s_cy, s_cx).transpose(
+        2, 0, 3, 1, 4).reshape(5, ny * s_cy, nx * s_cx)
+    up = jax.image.resize(
+        img_c, (5, ny * tile_h, nx * tile_w), method="bilinear")
+    return up.reshape(5, ny, tile_h, nx, tile_w).transpose(
+        1, 3, 0, 2, 4).reshape(ny * nx, 5, tile_h * tile_w).astype(dtype)
+
+
+def blend_tail_under_head(carry, upt):
+    """Blend an upsampled tail field under the head carry's per-pixel
+    transmittance: carry (T, >=5, P) [r,g,b,a,trans,...], upt (T, 5, P).
+    Returns (T, 5, P) updated [r, g, b, a, trans]."""
+    t_head = carry[:, 4:5, :]
+    return jnp.concatenate([
+        carry[:, 0:3, :] + t_head * upt[:, 0:3, :],
+        carry[:, 3:4, :] + t_head * upt[:, 3:4, :],
+        t_head * upt[:, 4:5, :]], axis=1)
+
+
+def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, mask_ref,
+                 wa_ref, wb_ref, params_ref,
                  cut_ref, fields_ref, meta_ref, acc_ref, planes_ref,
-                 ltx_ref, *, chunk: int, budget: int,
+                 ltx_ref, wd_ref, *, chunk: int, budget: int,
                  budget_lo: int, nx: int, ny_pad: int, s_cy: int, s_cx: int,
-                 rows_per_band: int):
+                 rows_per_band: int, use_wd: bool, alpha_pow: int):
     """One grid step = one chunk of `chunk` splats.
 
-    band/txw/tyw/nwx/nwy refs: (S,) i32 scalar-prefetch (1-D each — a 2-D
-    (S, 4) rect array would be lane-padded to 128 in SMEM and overflow at
-    bench scale);
+    band/txw/tyw/nwx/nwy/mask/wa/wb refs: (S,) i32 scalar-prefetch (1-D
+    each — a 2-D (S, 4) rect array would be lane-padded to 128 in SMEM and
+    overflow at bench scale); mask = per-(slot, sub-block) liveness bits
+    (step_slot_masks) — zero bits skip the corresponding eval/matmul
+    passes; wa/wb = bitcast-f32 per-step depth-weight coefficients
+    (band_weight_coeffs; used only when use_wd);
     params_ref (8, 128) f32 broadcast constants; cut_ref (16, 128) i32;
     fields_ref (10, chunk) f32 [sx, sy, v0x, v0y, il0, il1, r, g, b, a_eff];
     meta_ref (6, chunk) i32; acc_ref (K*rows_per_band, n_samp*6) f32 out.
@@ -226,6 +452,18 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
     tyw0 = tyw_ref[g]
     nwx = nwx_ref[g]
     nwy = nwy_ref[g]
+    mask = mask_ref[g]
+
+    if use_wd:
+        # Per-pair within-band depth weight, once per chunk (pair space —
+        # never per sample): w_d = exp(clip(a * dbits + b, 0, cap)).
+        # Mosaic's bitcast needs vectors, not scalars — broadcast first.
+        a_w = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1), wa_ref[g], jnp.int32), jnp.float32)
+        b_w = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1), wb_ref[g], jnp.int32), jnp.float32)
+        dbf = meta_ref[4:5, :].astype(jnp.float32)
+        wd_ref[...] = jnp.exp(jnp.clip(a_w * dbf + b_w, 0.0, _WD_CAP))
 
     # Broadcast scalars: row 0 = [kx_t, kx_j, kx_0, ky_t, ky_j, ky_0,
     # bx2, by2] (sample coords in k units are affine in tile/sample index;
@@ -254,7 +492,9 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
     # All loads below are STATIC lane slices of the refs, so sub-block
     # values carry standard layouts and stay in registers.
     SUB = min(512, chunk)
-    for s in range(budget):
+    nsub = chunk // SUB
+
+    def do_slot(s, mask_s):
         # Full-chunk per-pair tile/liveness (pair-space (1, chunk) values
         # are small) — drives the per-slot window passes below. The
         # sample-space eval runs in SUB-blocks into the planes scratch:
@@ -293,7 +533,19 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
         ltx_ref[1:2, :] = tx_c
         ltx_ref[2:3, :] = ty_c
 
-        for b0 in range(0, chunk, SUB):
+        for j, b0 in enumerate(range(0, chunk, SUB)):
+          bit = (mask_s >> j) & 1
+
+          @pl.when(bit == 0)
+          def _zero(b0=b0):
+            # Provably-dead (slot, sub-block): the planes scratch still
+            # feeds this slot's window matmuls — zero it instead of the
+            # ~25-op/sample evaluation.
+            planes_ref[:, b0:b0 + SUB] = jnp.zeros(
+                (planes_ref.shape[0], SUB), planes_ref.dtype)
+
+          @pl.when(bit != 0)
+          def _eval(b0=b0):
             sl = (slice(0, 1), slice(b0, b0 + SUB))
             live = ltx_ref[(slice(0, 1), slice(b0, b0 + SUB))] != 0
             tx = ltx_ref[(slice(1, 2), slice(b0, b0 + SUB))]
@@ -345,10 +597,22 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
             # hottest loop in the frame.
             alpha = jnp.where(w >= 1e-4, gate * w, 0.0)
             alpha = jnp.minimum(alpha, ALPHA_MAX)
+            # Depth-weighted OIT (band_weight_coeffs): the A/Ar/Ag/Ab/A2
+            # planes carry w_d * alpha so the band's color/alpha mix is a
+            # depth-biased weighted mean (near pairs occlude); the L
+            # plane stays UNWEIGHTED — total transmittance is exact.
+            aw_p = alpha * wd_ref[0:1, b0:b0 + SUB] if use_wd else alpha
+            # Opacity-dominance weighting (alpha_pow): color/alpha mix
+            # weights alpha^(1+p) so a near-opaque core out-votes many
+            # low-alpha dust pairs — the exact-composite behavior the
+            # plain mean loses (measured: depth weighting HURTS here;
+            # alpha power is the lever that tracks the 1M parity gate).
+            for _ in range(alpha_pow):
+                aw_p = aw_p * alpha
             # 6 stacked planes (6*n_samp, SUB), bf16 for the MXU; the L
             # plane is 0 for dead pairs (log1p(-0) == 0) — no masking.
             planes_ref[:, b0:b0 + SUB] = jnp.concatenate([
-                alpha, alpha * cr, alpha * cg, alpha * cb, alpha * alpha,
+                aw_p, aw_p * cr, aw_p * cg, aw_p * cb, aw_p * alpha,
                 jnp.log1p(-alpha)], axis=0).astype(jnp.bfloat16)
 
         # Window passes over the step's tile rect, once per SLOT on the
@@ -407,34 +671,70 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, params_ref,
                 return carry
             jax.lax.fori_loop(0, nwx * nwy, body, 0)
 
+    for s in range(budget):
+        if (s + 1) * nsub <= 30:
+            mask_s = (mask >> (s * nsub)) & ((1 << nsub) - 1)
+        else:
+            mask_s = jnp.int32((1 << nsub) - 1)
+
+        @pl.when(mask_s != 0)
+        def _slot(s=s, mask_s=mask_s):
+            do_slot(s, mask_s)
+
 
 def tail_accumulate(fields, meta, band, rect, cut, params_row,
                     k_bands: int, nx: int, ny: int, chunk: int,
                     budget: int, s_cy: int, s_cx: int,
                     budget_lo: int = 0,
+                    slot_mask=None, wd_ab=None, alpha_pow: int = 0,
                     interpret: bool | None = None):
     """Run the streaming tail kernel (differentiable w.r.t. `fields`
     through the hand-written backward kernel below).
 
     fields (10, Np) f32; meta (6, Np) i32 (Np a multiple of chunk);
-    band (S,) i32; rect (S, 4) i32; cut (T,) i32; params_row (8,) f32.
+    band (S,) i32; rect (S, 4) i32; cut (T,) i32; params_row (8,) f32;
+    slot_mask (S,) i32 per-(slot, sub-block) liveness bits
+    (step_slot_masks; None = no skipping); wd_ab (S, 2) f32 per-step
+    depth-weight coefficients (band_weight_coeffs gathered by step band;
+    None = unweighted OIT).
     Returns acc (k_bands * nx * ny_pad, 6 * s_cy * s_cx) f32.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    return _tail_core(fields, meta, band, rect, cut, params_row, k_bands,
-                      nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
-                      interpret)
+    return _tail_core(fields, meta, band, rect, cut, params_row, slot_mask,
+                      wd_ab, k_bands, nx, ny, chunk, budget, budget_lo,
+                      s_cy, s_cx, alpha_pow, interpret)
 
 
-def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
-                  ny, chunk, budget, budget_lo, s_cy, s_cx, interpret):
+def _mask_wa_wb(slot_mask, wd_ab, steps, chunk, budget):
+    """Resolve optional skip/weight operands to the kernel's (S,) i32
+    scalar-prefetch triplet (+ the static use_wd flag)."""
+    nsub = max(1, chunk // min(512, chunk))
+    if slot_mask is None:
+        bits = min(budget * nsub, 30)
+        slot_mask = jnp.full((steps,), (1 << bits) - 1, jnp.int32)
+    if wd_ab is None:
+        zeros = jnp.zeros((steps,), jnp.int32)
+        return slot_mask, zeros, zeros, False
+    wa = jax.lax.bitcast_convert_type(
+        wd_ab[:, 0].astype(jnp.float32), jnp.int32)
+    wb = jax.lax.bitcast_convert_type(
+        wd_ab[:, 1].astype(jnp.float32), jnp.int32)
+    return slot_mask, wa, wb, True
+
+
+def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, slot_mask,
+                  wd_ab, k_bands, nx,
+                  ny, chunk, budget, budget_lo, s_cy, s_cx, alpha_pow,
+                  interpret):
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
     if fields.shape[1] != npts:
         fields = jnp.pad(fields, ((0, 0), (0, npts - fields.shape[1])))
     steps = npts // chunk
     assert steps * chunk == npts and band.shape[0] == steps
+    slot_mask, wa, wb, use_wd = _mask_wa_wb(slot_mask, wd_ab, steps, chunk,
+                                            budget)
     ny_pad = _ceil_to(ny + WIN_TY, 8)    # tyw + WIN_TY never past the pad
     rows_per_band = nx * ny_pad
     rows = k_bands * rows_per_band
@@ -447,7 +747,7 @@ def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
     params = params.at[0, :8].set(params_row)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,           # band, txw, tyw, nwx, nwy
+        num_scalar_prefetch=8,   # band, txw, tyw, nwx, nwy, mask, wa, wb
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda g, *_: (0, 0),
@@ -464,12 +764,13 @@ def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((N_PLANES * n_samp, chunk),
                                    jnp.bfloat16),
-                        pltpu.VMEM((8, chunk), jnp.int32)],
+                        pltpu.VMEM((8, chunk), jnp.int32),
+                        pltpu.VMEM((1, chunk), jnp.float32)],
     )
     kern = functools.partial(
         _tail_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
         nx=nx, ny_pad=ny_pad, s_cy=s_cy, s_cx=s_cx,
-        rows_per_band=rows_per_band)
+        rows_per_band=rows_per_band, use_wd=use_wd, alpha_pow=alpha_pow)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -479,13 +780,15 @@ def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands, nx,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(band, rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
+      slot_mask, wa, wb,
       params, tbl, fields, meta)
 
 
 def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
                         k_bands: int, nx: int, ny: int, chunk: int,
                         budget: int, s_cy: int, s_cx: int,
-                        budget_lo: int = 0):
+                        budget_lo: int = 0, wd_ab=None,
+                        alpha_pow: int = 0):
     """jnp reference twin of tail_accumulate (scatter-add based; tests)."""
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
@@ -506,6 +809,13 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
     il1w = il1 * m1 * _QSCALE
     mass = m0 * m1                      # mass-preserving widening
     band_full = jnp.repeat(band, chunk)
+    if wd_ab is not None:
+        a_s = jnp.repeat(wd_ab[:, 0], chunk)
+        b_s = jnp.repeat(wd_ab[:, 1], chunk)
+        wd_full = jnp.exp(jnp.clip(a_s * dbits.astype(jnp.float32) + b_s,
+                                   0.0, _WD_CAP))
+    else:
+        wd_full = jnp.ones((meta.shape[1],), jnp.float32)
     nx_span = tx1 - tx0 + 1
     jy = jnp.arange(n_samp) // s_cx
     jx = jnp.arange(n_samp) % s_cx
@@ -533,9 +843,12 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
         # Mirrors the kernel's tail-grade coverage (weight floor only).
         alpha = jnp.minimum(jnp.where(w >= 1e-4, gate[:, None] * w, 0.0),
                             ALPHA_MAX)
+        aw = alpha * wd_full[:, None]
+        for _ in range(alpha_pow):
+            aw = aw * alpha
         planes = jnp.concatenate([
-            alpha, alpha * cr[:, None], alpha * cg[:, None],
-            alpha * cb[:, None], alpha * alpha, jnp.log1p(-alpha)], axis=1)
+            aw, aw * cr[:, None], aw * cg[:, None],
+            aw * cb[:, None], aw * alpha, jnp.log1p(-alpha)], axis=1)
         row = band_full * rows_per_band + tx * ny_pad + ty
         row = jnp.where(live, row, 0)
         contrib = jnp.where(live[:, None], planes, 0.0)
@@ -559,10 +872,12 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
 # forward; cost ~2x forward (recompute + chain).
 
 def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
+                     mask_ref, wa_ref, wb_ref,
                      params_ref, cut_ref, fields_ref, meta_ref, dacc_ref,
-                     df_ref, dpl_ref, ltx_ref, *, chunk: int,
+                     df_ref, dpl_ref, ltx_ref, wd_ref, *, chunk: int,
                      budget: int, budget_lo: int, nx: int, ny_pad: int,
-                     s_cy: int, s_cx: int, rows_per_band: int):
+                     s_cy: int, s_cx: int, rows_per_band: int,
+                     use_wd: bool, alpha_pow: int):
     g = pl.program_id(0)
     n_samp = s_cy * s_cx
 
@@ -573,6 +888,15 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
     tyw0 = tyw_ref[g]
     nwx = nwx_ref[g]
     nwy = nwy_ref[g]
+    mask = mask_ref[g]
+
+    if use_wd:
+        a_w = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1), wa_ref[g], jnp.int32), jnp.float32)
+        b_w = jax.lax.bitcast_convert_type(
+            jnp.full((1, 1), wb_ref[g], jnp.int32), jnp.float32)
+        dbf = meta_ref[4:5, :].astype(jnp.float32)
+        wd_ref[...] = jnp.exp(jnp.clip(a_w * dbf + b_w, 0.0, _WD_CAP))
 
     kx_t = params_ref[0, 0]
     kx_j = params_ref[0, 1]
@@ -591,7 +915,9 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
         jnp.int32, (WIN_TX * WIN_TY, 1), 0)
 
     SUB = min(512, chunk)
-    for s in range(budget):
+    nsub = chunk // SUB
+
+    def do_slot(s, mask_s):
         # Full-chunk pair tile/liveness (as in the forward).
         mtx0 = meta_ref[0:1, :]
         mtx1 = meta_ref[1:2, :]
@@ -669,7 +995,13 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             jax.lax.fori_loop(0, nwx * nwy, body, 0)
 
         # Sub-block chain rule: recompute the forward, apply cotangents.
-        for b0 in range(0, chunk, SUB):
+        # Provably-dead (slot, sub-block) passes contribute nothing to
+        # df (zero-initialized) and are skipped outright.
+        for j, b0 in enumerate(range(0, chunk, SUB)):
+          bit = (mask_s >> j) & 1
+
+          @pl.when(bit != 0)
+          def _chain(b0=b0):
             sb = (slice(0, 1), slice(b0, b0 + SUB))
             live = ltx_ref[(slice(0, 1), slice(b0, b0 + SUB))] != 0
             tx = ltx_ref[(slice(1, 2), slice(b0, b0 + SUB))]
@@ -720,8 +1052,20 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             dA2 = dp[4 * n_samp:5 * n_samp]
             dL = dp[5 * n_samp:6 * n_samp]
 
-            d_alpha = (dA + dAr * cr + dAg * cg + dAb * cb
-                       + dA2 * 2.0 * alpha - dL / (1.0 - alpha))
+            # Planes are [w a^(1+p), w a^(1+p) c, w a^(2+p), log1p(-a)]
+            # with w = wd (or 1) and p = alpha_pow; chain accordingly.
+            s1 = jnp.ones_like(alpha)
+            for _ in range(alpha_pow):
+                s1 = s1 * alpha
+            core = ((1.0 + alpha_pow) * s1
+                    * (dA + dAr * cr + dAg * cg + dAb * cb)
+                    + (2.0 + alpha_pow) * s1 * alpha * dA2)
+            if use_wd:
+                wd = wd_ref[0:1, b0:b0 + SUB]
+                core = core * wd
+            else:
+                wd = None
+            d_alpha = core - dL / (1.0 - alpha)
             live_d = ((w >= 1e-4) & (aw < ALPHA_MAX)).astype(jnp.float32)
             d_aw = d_alpha * live_d
             d_gate = jnp.sum(d_aw * w, axis=0, keepdims=True)   # (1, SUB)
@@ -741,9 +1085,10 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
                               axis=0, keepdims=True)
             d_v0y_e = jnp.sum(dn0 * dy * il0w + dn1 * dx * il1w,
                               axis=0, keepdims=True)
-            d_cr = jnp.sum(dAr * alpha, axis=0, keepdims=True)
-            d_cg = jnp.sum(dAg * alpha, axis=0, keepdims=True)
-            d_cb = jnp.sum(dAb * alpha, axis=0, keepdims=True)
+            alpha_w = alpha * s1 * wd if use_wd else alpha * s1
+            d_cr = jnp.sum(dAr * alpha_w, axis=0, keepdims=True)
+            d_cg = jnp.sum(dAg * alpha_w, axis=0, keepdims=True)
+            d_cb = jnp.sum(dAb * alpha_w, axis=0, keepdims=True)
             d_a_eff = d_gate * livef * m0 * m1
             # Mass-preserving-widening chain: il_w = il * m,
             # m = rsqrt(1 + c il^2), gate scales with m0 m1.
@@ -763,16 +1108,30 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
                 d_cb, d_a_eff], axis=0)                     # (10, SUB)
             df_ref[:, b0:b0 + SUB] = df_ref[:, b0:b0 + SUB] + dcols
 
+    for s in range(budget):
+        if (s + 1) * nsub <= 30:
+            mask_s = (mask >> (s * nsub)) & ((1 << nsub) - 1)
+        else:
+            mask_s = jnp.int32((1 << nsub) - 1)
 
-def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
+        @pl.when(mask_s != 0)
+        def _slot(s=s, mask_s=mask_s):
+            do_slot(s, mask_s)
+
+
+def _tail_bwd(fields, meta, band, rect, cut, params_row, slot_mask, wd_ab,
+              d_acc,
               k_bands: int, nx: int, ny: int, chunk: int, budget: int,
-              budget_lo: int, s_cy: int, s_cx: int, interpret: bool):
+              budget_lo: int, s_cy: int, s_cx: int, alpha_pow: int,
+              interpret: bool):
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
     n_fields = fields.shape[1]
     if n_fields != npts:
         fields = jnp.pad(fields, ((0, 0), (0, npts - n_fields)))
     steps = npts // chunk
+    slot_mask, wa, wb, use_wd = _mask_wa_wb(slot_mask, wd_ab, steps, chunk,
+                                            budget)
     ny_pad = _ceil_to(ny + WIN_TY, 8)
     rows_per_band = nx * ny_pad
     rows = k_bands * rows_per_band
@@ -785,7 +1144,7 @@ def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
     params = params.at[0, :8].set(params_row)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=8,
         grid=(steps,),
         in_specs=[
             pl.BlockSpec((8, 128), lambda g, *_: (0, 0),
@@ -803,12 +1162,13 @@ def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((N_PLANES * n_samp, chunk),
                                    jnp.float32),
-                        pltpu.VMEM((8, chunk), jnp.int32)],
+                        pltpu.VMEM((8, chunk), jnp.int32),
+                        pltpu.VMEM((1, chunk), jnp.float32)],
     )
     kern = functools.partial(
         _tail_bwd_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
         nx=nx, ny_pad=ny_pad, s_cy=s_cy, s_cx=s_cx,
-        rows_per_band=rows_per_band)
+        rows_per_band=rows_per_band, use_wd=use_wd, alpha_pow=alpha_pow)
     df = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -817,6 +1177,7 @@ def _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(band, rect[:, 0], rect[:, 1], rect[:, 2], rect[:, 3],
+      slot_mask, wa, wb,
       params, tbl, fields, meta, d_acc)
     return df[:, :n_fields]
 
@@ -825,31 +1186,40 @@ def _float0_like(x):
     return np.zeros(x.shape, jax.dtypes.float0)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11,
-                                                    12, 13, 14))
-def _tail_core(fields, meta, band, rect, cut, params_row, k_bands, nx, ny,
-               chunk, budget, budget_lo, s_cy, s_cx, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13,
+                                                    14, 15, 16, 17))
+def _tail_core(fields, meta, band, rect, cut, params_row, slot_mask, wd_ab,
+               k_bands, nx, ny,
+               chunk, budget, budget_lo, s_cy, s_cx, alpha_pow, interpret):
     return _tail_fwd_raw(fields, meta, band, rect, cut, params_row,
+                         slot_mask, wd_ab,
                          k_bands, nx, ny, chunk, budget, budget_lo, s_cy,
-                         s_cx, interpret)
+                         s_cx, alpha_pow, interpret)
 
 
-def _tail_core_fwd(fields, meta, band, rect, cut, params_row, k_bands, nx,
-                   ny, chunk, budget, budget_lo, s_cy, s_cx, interpret):
-    acc = _tail_fwd_raw(fields, meta, band, rect, cut, params_row, k_bands,
+def _tail_core_fwd(fields, meta, band, rect, cut, params_row, slot_mask,
+                   wd_ab, k_bands, nx,
+                   ny, chunk, budget, budget_lo, s_cy, s_cx, alpha_pow,
+                   interpret):
+    acc = _tail_fwd_raw(fields, meta, band, rect, cut, params_row,
+                        slot_mask, wd_ab, k_bands,
                         nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
-                        interpret)
-    return acc, (fields, meta, band, rect, cut, params_row)
+                        alpha_pow, interpret)
+    return acc, (fields, meta, band, rect, cut, params_row, slot_mask,
+                 wd_ab)
 
 
 def _tail_core_bwd(k_bands, nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
-                   interpret, res, d_acc):
-    fields, meta, band, rect, cut, params_row = res
-    df = _tail_bwd(fields, meta, band, rect, cut, params_row, d_acc,
+                   alpha_pow, interpret, res, d_acc):
+    fields, meta, band, rect, cut, params_row, slot_mask, wd_ab = res
+    df = _tail_bwd(fields, meta, band, rect, cut, params_row, slot_mask,
+                   wd_ab, d_acc,
                    k_bands, nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
-                   interpret)
+                   alpha_pow, interpret)
     return (df, _float0_like(meta), _float0_like(band), _float0_like(rect),
-            _float0_like(cut), jnp.zeros_like(params_row))
+            _float0_like(cut), jnp.zeros_like(params_row),
+            None if slot_mask is None else _float0_like(slot_mask),
+            None if wd_ab is None else jnp.zeros_like(wd_ab))
 
 
 _tail_core.defvjp(_tail_core_fwd, _tail_core_bwd)

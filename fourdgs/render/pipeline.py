@@ -108,6 +108,18 @@ class RenderConfig:
     tail_bands: int = 8             # depth bands (ordered; OIT within)
     tail_block: Tuple[int, int] = (8, 8)   # coarse px block (y, x)
     tail_chunk: int = 2048          # splats per tail grid step
+    # Within-band depth weighting (tail_pallas.band_weight_coeffs): pair
+    # weight e^beta at the band's near edge. MEASURED TO HURT on the 1M
+    # parity gate (p99 0.267 -> 0.292 at beta 20): the within-band error
+    # is opaque-core dominance, not depth bias. Kept for experiments;
+    # default off.
+    tail_depth_beta: float = 0.0
+    # Opacity-dominance weighting: the band's color/alpha mix weights
+    # pairs by alpha^(1+p) instead of alpha, so a near-opaque core
+    # out-votes accumulated low-alpha dust — the exact-composite behavior
+    # plain OIT loses (the r4 parity gate's dominant error mode). 0 =
+    # plain OIT.
+    tail_alpha_power: int = 0
 
 
 def _pad_pairs(pair_splat: jax.Array, m: int) -> jax.Array:
@@ -513,14 +525,24 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
     chunk = cfg.tail_chunk
     # ONE raw meta array (budget windows applied in-kernel) serves the
     # main stream, the band/rect prepass, and the big-tier gather.
-    meta = TPL.tail_meta(alive, tx0, tx1, ty0, ty1, dbits, chunk)
-    band, rect = TPL.step_bands_rects(
-        meta, chunk, band_cuts, 0, cfg.max_tiles_per_splat)
+    meta, mrows = TPL.tail_meta(alive, tx0, tx1, ty0, ty1, dbits, chunk,
+                                return_rows=True)
+    band, rect, slot_mask = TPL.tail_prepass(
+        mrows, band_cuts, chunk, cfg.max_tiles_per_splat,
+        k_bands=k_bands)
+    coeffs = None
+    wd_ab = None
+    if cfg.tail_depth_beta:
+        d_lo, d_hi = TPL.global_band_extremes(jnp.where(al_s, db_s, dead))
+        coeffs = TPL.band_weight_coeffs(band_cuts, d_lo, d_hi, k_bands,
+                                        cfg.tail_depth_beta)
+        wd_ab = coeffs[band]                                 # (S, 2)
     with jax.named_scope("tail_main"):
         acc = TPL.tail_accumulate(
             fields, meta, band, rect, cut, params_row, k_bands=k_bands,
             nx=nx, ny=ny, chunk=chunk, budget=cfg.max_tiles_per_splat,
-            s_cy=s_cy, s_cx=s_cx)
+            s_cy=s_cy, s_cx=s_cx, slot_mask=slot_mask, wd_ab=wd_ab,
+            alpha_pow=cfg.tail_alpha_power)
 
     if binning.big_ids is not None:
         # Big-tier stream: the kept wide-span splat ids re-walked with the
@@ -540,37 +562,24 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
         band_b, rect_b = TPL.step_bands_rects(
             meta_b0, chunk_b, band_cuts, cfg.max_tiles_per_splat,
             cfg.big_splat_budget)
+        mask_b = TPL.step_slot_masks(meta_b0, chunk_b,
+                                     cfg.big_splat_budget,
+                                     budget_lo=cfg.max_tiles_per_splat)
+        wd_ab_b = None if coeffs is None else coeffs[band_b]
         with jax.named_scope("tail_big"):
             acc = acc + TPL.tail_accumulate(
                 bfields, meta_b0, band_b, rect_b, cut, params_row,
                 k_bands=k_bands, nx=nx, ny=ny, chunk=chunk_b,
                 budget=cfg.big_splat_budget, s_cy=s_cy, s_cx=s_cx,
-                budget_lo=cfg.max_tiles_per_splat)
+                budget_lo=cfg.max_tiles_per_splat, slot_mask=mask_b,
+                wd_ab=wd_ab_b, alpha_pow=cfg.tail_alpha_power)
 
     # Fold bands, upsample the coarse tail field, blend under T_head.
     with jax.named_scope("tail_combine"):
-        n_samp = s_cy * s_cx
-        ny_pad = TPL._ceil_to(ny + TPL.WIN_TY, 8)
-        acc_r = acc.reshape(k_bands, nx, ny_pad, TPL.N_PLANES,
-                            n_samp)[:, :, :ny]
-        acc_t = acc_r.transpose(2, 1, 0, 3, 4).reshape(
-            ny * nx, k_bands, TPL.N_PLANES, n_samp)
-        rgb_c, alpha_c, trans_c = TPL.combine_bands(acc_t)
-        coarse = jnp.concatenate(
-            [rgb_c, alpha_c[:, None], trans_c[:, None]], axis=1)  # (T,5,S)
-        img_c = coarse.reshape(ny, nx, 5, s_cy, s_cx).transpose(
-            2, 0, 3, 1, 4).reshape(5, ny * s_cy, nx * s_cx)
-        up = jax.image.resize(
-            img_c, (5, ny * cfg.tile_h, nx * cfg.tile_w), method="bilinear")
-        upt = up.reshape(5, ny, cfg.tile_h, nx, cfg.tile_w).transpose(
-            1, 3, 0, 2, 4).reshape(ny * nx, 5,
-                                   cfg.tile_h * cfg.tile_w).astype(dtype)
-        t_head = out[:, 4:5, :]
-        new_rgb = out[:, 0:3, :] + t_head * upt[:, 0:3, :]
-        new_a = out[:, 3:4, :] + t_head * upt[:, 3:4, :]
-        new_t = t_head * upt[:, 4:5, :]
-        return jnp.concatenate([new_rgb, new_a, new_t, out[:, 5:8, :]],
-                               axis=1)
+        upt = TPL.fold_upsample_tail(acc, k_bands, nx, ny, cfg.tile_h,
+                                     cfg.tile_w, s_cy, s_cx, dtype)
+        blended = TPL.blend_tail_under_head(out, upt)
+        return jnp.concatenate([blended, out[:, 5:8, :]], axis=1)
 
 
 def _ceil8(x: int) -> int:

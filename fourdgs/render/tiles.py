@@ -359,17 +359,26 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         else:
             big_ids = None
         prune_cut = None
+        fuse_cut_into_rowsort = (depth_prune_cap and tile_range is None
+                                 and compact_keep_cols and pallas_compact
+                                 and not pallas_sort)
         if depth_prune_cap and tile_range is None:
             # Drop pairs deeper than any slab the compositor will ever
             # blend (per-tile sample-estimated threshold) BEFORE the sort:
             # at 10M splats the majority of emitted pairs are beyond the
             # composite cap and were being sorted/gathered for nothing.
-            from fourdgs.ops.lookup_pallas import apply_cutkeys
+            # On the pallas-compaction path the cut application fuses into
+            # the rowsort kernel's existing read of the slot array
+            # (ops/sort_pallas._rowsort_kernel) — the standalone
+            # apply_cutkeys pass re-read and re-wrote all 40M slots for
+            # ~2.8 ms at the 10M bench.
             with jax.named_scope("depth_prune"):
                 prune_cut = depth_prune_cutkeys(key, num_tiles,
                                                 depth_prune_cap,
                                                 safety=depth_prune_safety)
-                key = apply_cutkeys(key, prune_cut)
+                if not fuse_cut_into_rowsort:
+                    from fourdgs.ops.lookup_pallas import apply_cutkeys
+                    key = apply_cutkeys(key, prune_cut)
         compact_dropped = None
         if compact_keep_cols and pallas_sort:
             # Pallas path: compact into a power-of-two (rows x keep_cols)
@@ -402,7 +411,10 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
                 with jax.named_scope("rowsort_compact"):
                     ck, cv, compact_dropped = rowsort_compact(
                         key, splat_idx, compact_keep_cols,
-                        row_len=compact_row_len)
+                        row_len=compact_row_len,
+                        cut=(prune_cut if fuse_cut_into_rowsort
+                             else None),
+                        key_shift=QUANT_DEPTH_BITS)
                     key, splat_idx = ck.reshape(-1), cv.reshape(-1)
             elif compact_keep_cols:
                 key, splat_idx, compact_dropped = compact_pairs(

@@ -157,3 +157,30 @@ def morton_order(params: Dict[str, jax.Array], bits: int = 10):
             | (spread(q(pz)) << 2)).astype(jnp.int32)
     order = jnp.argsort(code)
     return {k: v[order] for k, v in params.items()}
+
+
+def pad_packed_params(params: Dict[str, jax.Array], multiple: int = 2048):
+    """Pad a packed scalar-SoA parameter dict with DEAD splats to a length
+    multiple — a ONE-TIME scene-build step.
+
+    Why: every in-frame `jnp.pad` of a (N,) field to the tail kernel's
+    chunk multiple is a full-array copy (XLA pad writes a fresh array);
+    at the 10M bench the frame paid ~17 pad/update-slice ops (~4 ms) to
+    pad derived fields by 384 elements. Padding the SCENE once makes
+    every derived field already chunk-aligned, so those pads become
+    no-ops. Pad splats have opacity 0 (ca=0: a_eff == 0 -> alpha == 0
+    everywhere) and epsilon scales; they may emit a handful of zero-alpha
+    pairs, which composite to exactly nothing.
+    """
+    n = params["px"].shape[0]
+    npad = -(-n // multiple) * multiple
+    if npad == n:
+        return params
+    pad = npad - n
+    fill = dict(qw=1.0, sx=1e-6, sy=1e-6, sz=1e-6, lifetime=1e-6,
+                fade=0.5, ca=0.0)
+
+    def ext(k, v):
+        return jnp.concatenate(
+            [v, jnp.full((pad,), fill.get(k, 0.0), v.dtype)])
+    return {k: ext(k, v) for k, v in params.items()}

@@ -296,25 +296,56 @@ class TestDistributedConvergedTail:
         d = np.abs(np.asarray(tiny)[..., :3] - np.asarray(full)[..., :3])
         assert float(d.mean()) < 0.02
 
-    def test_training_grads_through_distributed_tail_known_gap(self):
-        # KNOWN GAP (ROADMAP r4 #3): reverse-mode through the distributed
-        # tail trips a shard_map sharp edge — with check_vma=False, the
-        # linearized body's REPLICATED residuals (the all-gathered cut
-        # table / band cuts / params row saved by the tail's custom VJP)
-        # are spec-matched as device-varying and pjit compile asserts.
-        # check_vma=True needs vma annotations on every pallas out_shape.
-        # This test pins the failure mode loudly so the fix (two-stage
-        # shard_map: head inside, additive tail reduction outside) has a
-        # ready acceptance test: flip `pytest.raises` to the grad
-        # assertions when it lands. Single-chip converged training works
-        # (tests/test_tail.py) and distributed training works with
-        # tail_mode off (TestShardedTraining).
+    def test_training_grads_through_distributed_tail(self):
+        # ROADMAP r4 #3 closed: reverse-mode through the distributed tail
+        # works via the two-stage structure (head + exchange inside one
+        # shard_map, the tail's custom-VJP kernel inside a second whose
+        # residuals are all inputs/device-varying, the replicated combine
+        # in plain jit-land). This was a pinned known-gap test
+        # (pytest.raises on the pjit sharding-override assert) until the
+        # restructure landed in round 5. Grads must match the single-chip
+        # converged pipeline's grads (same scene, same config; the two
+        # routes differ only by per-shard band-cut sampling).
         params = make_scene4d(jax.random.PRNGKey(33), n=256)
         mesh = make_mesh()
         target = jnp.zeros((self.CAM.height, self.CAM.width, 4))
         loss = D.make_sharded_loss(self.CAM, mesh, self.CFG,
                                    exchange="alltoall")
-        l = loss(params, target, 1.0)            # forward works
+        l, grads = jax.value_and_grad(
+            lambda p: loss(p, target, 1.0))(params)
         assert np.isfinite(float(l))
-        with pytest.raises(Exception):
-            jax.value_and_grad(lambda p: loss(p, target, 1.0))(params)
+
+        def ref_loss(p):
+            splats = D.materialize_splats(p)
+            img = pipeline.render_splats4d(splats, self.CAM, 1.0,
+                                           cfg=self.CFG)
+            return jnp.sum((img[..., :3] - target[..., :3]) ** 2) \
+                / (self.CAM.height * self.CAM.width * 3)
+
+        l_ref, g_ref = jax.value_and_grad(ref_loss)(params)
+        assert abs(float(l) - float(l_ref)) < 0.05 * float(l_ref) + 1e-6
+        for k in grads:
+            gs, gr = np.asarray(grads[k]), np.asarray(g_ref[k])
+            assert np.isfinite(gs).all(), k
+            denom = np.linalg.norm(gr) + 1e-12
+            rel = np.linalg.norm(gs - gr) / denom
+            assert rel < 0.15, (k, rel, np.linalg.norm(gs), denom)
+
+    def test_converged_sharded_train_step_reduces_loss(self):
+        # The north star's "training at scale": a full converged train
+        # step (render -> L2 -> grads -> adam) on the virtual mesh, loss
+        # decreasing over a few steps.
+        import optax
+        params = make_scene4d(jax.random.PRNGKey(34), n=256)
+        mesh = make_mesh()
+        target = jnp.full((self.CAM.height, self.CAM.width, 4), 0.05)
+        optimizer = optax.adam(2e-2)
+        step = jax.jit(D.make_sharded_train_step(
+            self.CAM, mesh, optimizer, self.CFG, exchange="alltoall"))
+        opt_state = optimizer.init(params)
+        losses = []
+        for i in range(4):
+            params, opt_state, l = step(params, opt_state, target, 1.0)
+            losses.append(float(l))
+        assert np.isfinite(losses).all()
+        assert losses[-1] < losses[0], losses

@@ -186,3 +186,70 @@ def test_training_through_converged_stack():
         losses.append(float(l))
     assert losses[-1] < losses[0]
     assert np.isfinite(losses).all()
+
+
+def test_tail_kernel_slot_mask_matches_twin():
+    # The per-(slot, sub-block) skip mask is a provably-conservative
+    # superset of the kernel's live condition: the masked kernel must be
+    # EXACTLY the unmasked twin.
+    fx = _fixture(n=3000, chunk=256, budget=3)
+    mask = TP.step_slot_masks(fx["meta"], fx["chunk"], fx["budget"])
+    acc_k = TP.tail_accumulate(
+        fx["fields"], fx["meta"], fx["band"], fx["rect"], fx["cut"],
+        fx["params_row"], k_bands=fx["k_bands"], nx=fx["nx"], ny=fx["ny"],
+        chunk=fx["chunk"], budget=fx["budget"], s_cy=4, s_cx=16,
+        slot_mask=mask)
+    acc_x = TP.tail_accumulate_xla(
+        fx["fields"], fx["meta"], fx["band"], fx["rect"], fx["cut"],
+        fx["params_row"], k_bands=fx["k_bands"], nx=fx["nx"], ny=fx["ny"],
+        chunk=fx["chunk"], budget=fx["budget"], s_cy=4, s_cx=16)
+    np.testing.assert_allclose(np.asarray(acc_k), np.asarray(acc_x),
+                               rtol=2e-2, atol=2e-3)
+
+
+def test_tail_kernel_weights_match_twin():
+    # Depth weighting (wd_ab) and alpha-power weighting must agree with
+    # the jnp twin, forward and backward.
+    fx = _fixture(n=2000, chunk=256, budget=3)
+    steps = fx["band"].shape[0]
+    rng = np.random.default_rng(5)
+    wd_ab = jnp.asarray(
+        np.c_[rng.uniform(0, 2e-5, steps),
+              rng.uniform(-1.0, 0.0, steps)].astype(np.float32))
+    kw = dict(k_bands=fx["k_bands"], nx=fx["nx"], ny=fx["ny"],
+              chunk=fx["chunk"], budget=fx["budget"], s_cy=4, s_cx=16)
+
+    def k_sum(f):
+        acc = TP.tail_accumulate(f, fx["meta"], fx["band"], fx["rect"],
+                                 fx["cut"], fx["params_row"], wd_ab=wd_ab,
+                                 alpha_pow=1, **kw)
+        return jnp.sum(acc * jnp.cos(jnp.arange(acc.size).reshape(acc.shape)))
+
+    def x_sum(f):
+        acc = TP.tail_accumulate_xla(f, fx["meta"], fx["band"], fx["rect"],
+                                     fx["cut"], fx["params_row"],
+                                     wd_ab=wd_ab, alpha_pow=1, **kw)
+        return jnp.sum(acc * jnp.cos(jnp.arange(acc.size).reshape(acc.shape)))
+
+    vk, gk = jax.value_and_grad(k_sum)(fx["fields"])
+    vx, gx = jax.value_and_grad(x_sum)(fx["fields"])
+    np.testing.assert_allclose(float(vk), float(vx), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gx),
+                               rtol=5e-2, atol=2e-2 * float(
+                                   jnp.max(jnp.abs(gx))))
+
+
+def test_tail_prepass_matches_xla_formulation():
+    fx = _fixture(n=5000, chunk=256, budget=3)
+    rng = np.random.default_rng(7)
+    cuts = jnp.asarray(np.sort(
+        rng.integers(-(1 << 20), 0, fx["k_bands"] - 1)).astype(np.int32))
+    band_x, rect_x = TP.step_bands_rects(fx["meta"], fx["chunk"], cuts,
+                                         0, fx["budget"])
+    mask_x = TP.step_slot_masks(fx["meta"], fx["chunk"], fx["budget"])
+    rows = tuple(fx["meta"][i] for i in range(6))
+    band_p, rect_p, mask_p = TP.tail_prepass(
+        rows, cuts, fx["chunk"], fx["budget"], k_bands=fx["k_bands"])
+    np.testing.assert_array_equal(np.asarray(band_x), np.asarray(band_p))
+    np.testing.assert_array_equal(np.asarray(rect_x), np.asarray(rect_p))
+    np.testing.assert_array_equal(np.asarray(mask_x), np.asarray(mask_p))
