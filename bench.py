@@ -108,6 +108,7 @@ def bench_setup():
         "FOURDGS_BENCH_TAIL_CHUNK": ("tail_chunk", int),
         "FOURDGS_BENCH_TAIL_BETA": ("tail_depth_beta", float),
         "FOURDGS_BENCH_TAIL_APOW": ("tail_alpha_power", int),
+        "FOURDGS_BENCH_TAIL_CLIP": ("tail_exact_clip", lambda v: v not in ("0", "")),
         "FOURDGS_BENCH_PRUNE_SAFETY": ("depth_prune_safety", float),
     }
     overrides = {field: typ(os.environ[var])

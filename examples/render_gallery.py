@@ -21,6 +21,9 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default=os.path.join(os.path.dirname(__file__), "gallery"))
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--capped", action="store_true",
+                    help="use the fixed-capacity compositor instead of "
+                         "the converged exact-head + banded-tail stack")
     args = ap.parse_args()
 
     import jax
@@ -35,8 +38,19 @@ def main():
     from fourdgs.scenes.scenes import SCENES
     from fourdgs.splats.gaussians import Splats2D, Splats3D
 
+    from fourdgs.render.autoconfig import auto_render_config
+
     os.makedirs(args.out, exist_ok=True)
-    cfg = RenderConfig(max_splats_per_tile=1024, splat_chunk=64)
+    if args.capped:
+        cfg = RenderConfig(max_splats_per_tile=1024, splat_chunk=64)
+    else:
+        # CONVERGED default (round 5): every pair composited — exact head
+        # + streaming banded-OIT tail, matching the reference's
+        # no-depth-cap blend (Splat4DFragShader.GLSL:22-31). At gallery
+        # scene sizes the head composites nearly everything; the tail
+        # guarantees zero truncation for the deep scenes.
+        cfg = auto_render_config(400_000, args.size, args.size,
+                                 tail_chunk=1024)
 
     # A mid-animation time per scene (where the 4D structure shows).
     times = {"linear": 20.0, "nonlinear": 30.0, "rotation": 30.0,
@@ -71,8 +85,8 @@ def main():
                                            st.min_opacity, cfg=cfg)
         path = os.path.join(args.out, f"{name}.png")
         write_png(path, np.asarray(img))
-        print(f"{path:40s} n={splats.count:7d} t={t:5.1f} "
-              f"mean_rgb={float(np.asarray(img)[..., :3].mean()):.4f} "
+        print(f"| {name} | {splats.count:,} | {t:.1f} | "
+              f"{float(np.asarray(img)[..., :3].mean()):.4f} |",
               f"({time.time()-t0:.1f}s)")
 
 

@@ -427,7 +427,8 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, mask_ref,
                  cut_ref, fields_ref, meta_ref, acc_ref, planes_ref,
                  ltx_ref, wd_ref, *, chunk: int, budget: int,
                  budget_lo: int, nx: int, ny_pad: int, s_cy: int, s_cx: int,
-                 rows_per_band: int, use_wd: bool, alpha_pow: int):
+                 rows_per_band: int, use_wd: bool, alpha_pow: int,
+                 exact_clip: bool):
     """One grid step = one chunk of `chunk` splats.
 
     band/txw/tyw/nwx/nwy/mask/wa/wb refs: (S,) i32 scalar-prefetch (1-D
@@ -590,12 +591,25 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, mask_ref,
             n0 = (v0x * dx + v0y * dy) * il0w
             n1 = (v0y * dx - v0x * dy) * il1w
             w = jnp.exp(-(n0 * n0 + n1 * n1))
-            # Tail-grade coverage: the quad clip |n| <= 0.5 trims the
-            # w >= 1e-4 ellipse's corners (both bounds are ~3e-4-alpha
-            # fringe); the head applies the exact clip, the tail keeps
-            # only the weight floor — 2 VPU ops instead of 7 on the
-            # hottest loop in the frame.
-            alpha = jnp.where(w >= 1e-4, gate * w, 0.0)
+            if exact_clip:
+                # The head's exact quad clip, in widened-n units: the
+                # reference evaluates fragments only inside the |n| <=
+                # 0.5 quad (Splat4DVertexShaderInstanced.GLSL:145-147);
+                # n here is e * il * m * sqrt(32), so the bound is
+                # 0.5 * sqrt(32) * m per axis. Without it the tail
+                # accumulates the w in [1e-4, 3.4e-4] sliver OUTSIDE the
+                # quad over ~1000 pairs/pixel — measured as the dominant
+                # term of the parity gate's p99 (round 5).
+                lim0 = (0.5 * _QSCALE) * m0
+                lim1 = (0.5 * _QSCALE) * m1
+                cov = (w >= 1e-4) & (jnp.abs(n0) <= lim0) \
+                    & (jnp.abs(n1) <= lim1)
+                alpha = jnp.where(cov, gate * w, 0.0)
+            else:
+                # Tail-grade coverage: the quad clip |n| <= 0.5 trims the
+                # w >= 1e-4 ellipse's corners; only the weight floor — 2
+                # VPU ops instead of 7 on the hottest loop in the frame.
+                alpha = jnp.where(w >= 1e-4, gate * w, 0.0)
             alpha = jnp.minimum(alpha, ALPHA_MAX)
             # Depth-weighted OIT (band_weight_coeffs): the A/Ar/Ag/Ab/A2
             # planes carry w_d * alpha so the band's color/alpha mix is a
@@ -687,6 +701,7 @@ def tail_accumulate(fields, meta, band, rect, cut, params_row,
                     budget: int, s_cy: int, s_cx: int,
                     budget_lo: int = 0,
                     slot_mask=None, wd_ab=None, alpha_pow: int = 0,
+                    exact_clip: bool = False,
                     interpret: bool | None = None):
     """Run the streaming tail kernel (differentiable w.r.t. `fields`
     through the hand-written backward kernel below).
@@ -703,7 +718,7 @@ def tail_accumulate(fields, meta, band, rect, cut, params_row,
         interpret = jax.default_backend() != "tpu"
     return _tail_core(fields, meta, band, rect, cut, params_row, slot_mask,
                       wd_ab, k_bands, nx, ny, chunk, budget, budget_lo,
-                      s_cy, s_cx, alpha_pow, interpret)
+                      s_cy, s_cx, alpha_pow, exact_clip, interpret)
 
 
 def _mask_wa_wb(slot_mask, wd_ab, steps, chunk, budget):
@@ -726,7 +741,7 @@ def _mask_wa_wb(slot_mask, wd_ab, steps, chunk, budget):
 def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, slot_mask,
                   wd_ab, k_bands, nx,
                   ny, chunk, budget, budget_lo, s_cy, s_cx, alpha_pow,
-                  interpret):
+                  exact_clip, interpret):
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
     if fields.shape[1] != npts:
@@ -770,7 +785,8 @@ def _tail_fwd_raw(fields, meta, band, rect, cut, params_row, slot_mask,
     kern = functools.partial(
         _tail_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
         nx=nx, ny_pad=ny_pad, s_cy=s_cy, s_cx=s_cx,
-        rows_per_band=rows_per_band, use_wd=use_wd, alpha_pow=alpha_pow)
+        rows_per_band=rows_per_band, use_wd=use_wd, alpha_pow=alpha_pow,
+        exact_clip=exact_clip)
     return pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -788,7 +804,7 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
                         k_bands: int, nx: int, ny: int, chunk: int,
                         budget: int, s_cy: int, s_cx: int,
                         budget_lo: int = 0, wd_ab=None,
-                        alpha_pow: int = 0):
+                        alpha_pow: int = 0, exact_clip: bool = False):
     """jnp reference twin of tail_accumulate (scatter-add based; tests)."""
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
@@ -840,8 +856,14 @@ def tail_accumulate_xla(fields, meta, band, rect, cut, params_row,
         n0 = (v0x[:, None] * dx + v0y[:, None] * dy) * il0w[:, None]
         n1 = (v0y[:, None] * dx - v0x[:, None] * dy) * il1w[:, None]
         w = jnp.exp(-(n0 * n0 + n1 * n1))
-        # Mirrors the kernel's tail-grade coverage (weight floor only).
-        alpha = jnp.minimum(jnp.where(w >= 1e-4, gate[:, None] * w, 0.0),
+        if exact_clip:
+            cov = ((w >= 1e-4)
+                   & (jnp.abs(n0) <= (0.5 * _QSCALE) * m0[:, None])
+                   & (jnp.abs(n1) <= (0.5 * _QSCALE) * m1[:, None]))
+        else:
+            # Mirrors the kernel's tail-grade coverage (weight floor only).
+            cov = w >= 1e-4
+        alpha = jnp.minimum(jnp.where(cov, gate[:, None] * w, 0.0),
                             ALPHA_MAX)
         aw = alpha * wd_full[:, None]
         for _ in range(alpha_pow):
@@ -877,7 +899,7 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
                      df_ref, dpl_ref, ltx_ref, wd_ref, *, chunk: int,
                      budget: int, budget_lo: int, nx: int, ny_pad: int,
                      s_cy: int, s_cx: int, rows_per_band: int,
-                     use_wd: bool, alpha_pow: int):
+                     use_wd: bool, alpha_pow: int, exact_clip: bool):
     g = pl.program_id(0)
     n_samp = s_cy * s_cx
 
@@ -1042,7 +1064,14 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             n1 = e1 * il1w
             w = jnp.exp(-(n0 * n0 + n1 * n1))
             aw = gate * w
-            alpha = jnp.minimum(jnp.where(w >= 1e-4, aw, 0.0), ALPHA_MAX)
+            if exact_clip:
+                lim0 = (0.5 * _QSCALE) * m0
+                lim1 = (0.5 * _QSCALE) * m1
+                cov = (w >= 1e-4) & (jnp.abs(n0) <= lim0) \
+                    & (jnp.abs(n1) <= lim1)
+            else:
+                cov = w >= 1e-4
+            alpha = jnp.minimum(jnp.where(cov, aw, 0.0), ALPHA_MAX)
 
             dp = dpl_ref[:, b0:b0 + SUB]                 # (6*n_samp, SUB)
             dA = dp[0 * n_samp:1 * n_samp]
@@ -1066,7 +1095,7 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
             else:
                 wd = None
             d_alpha = core - dL / (1.0 - alpha)
-            live_d = ((w >= 1e-4) & (aw < ALPHA_MAX)).astype(jnp.float32)
+            live_d = (cov & (aw < ALPHA_MAX)).astype(jnp.float32)
             d_aw = d_alpha * live_d
             d_gate = jnp.sum(d_aw * w, axis=0, keepdims=True)   # (1, SUB)
             dw = d_aw * gate
@@ -1123,7 +1152,7 @@ def _tail_bwd(fields, meta, band, rect, cut, params_row, slot_mask, wd_ab,
               d_acc,
               k_bands: int, nx: int, ny: int, chunk: int, budget: int,
               budget_lo: int, s_cy: int, s_cx: int, alpha_pow: int,
-              interpret: bool):
+              exact_clip: bool, interpret: bool):
     n_samp = s_cy * s_cx
     npts = meta.shape[1]
     n_fields = fields.shape[1]
@@ -1168,7 +1197,8 @@ def _tail_bwd(fields, meta, band, rect, cut, params_row, slot_mask, wd_ab,
     kern = functools.partial(
         _tail_bwd_kernel, chunk=chunk, budget=budget, budget_lo=budget_lo,
         nx=nx, ny_pad=ny_pad, s_cy=s_cy, s_cx=s_cx,
-        rows_per_band=rows_per_band, use_wd=use_wd, alpha_pow=alpha_pow)
+        rows_per_band=rows_per_band, use_wd=use_wd, alpha_pow=alpha_pow,
+        exact_clip=exact_clip)
     df = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
@@ -1187,35 +1217,36 @@ def _float0_like(x):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12, 13,
-                                                    14, 15, 16, 17))
+                                                    14, 15, 16, 17, 18))
 def _tail_core(fields, meta, band, rect, cut, params_row, slot_mask, wd_ab,
                k_bands, nx, ny,
-               chunk, budget, budget_lo, s_cy, s_cx, alpha_pow, interpret):
+               chunk, budget, budget_lo, s_cy, s_cx, alpha_pow, exact_clip,
+               interpret):
     return _tail_fwd_raw(fields, meta, band, rect, cut, params_row,
                          slot_mask, wd_ab,
                          k_bands, nx, ny, chunk, budget, budget_lo, s_cy,
-                         s_cx, alpha_pow, interpret)
+                         s_cx, alpha_pow, exact_clip, interpret)
 
 
 def _tail_core_fwd(fields, meta, band, rect, cut, params_row, slot_mask,
                    wd_ab, k_bands, nx,
                    ny, chunk, budget, budget_lo, s_cy, s_cx, alpha_pow,
-                   interpret):
+                   exact_clip, interpret):
     acc = _tail_fwd_raw(fields, meta, band, rect, cut, params_row,
                         slot_mask, wd_ab, k_bands,
                         nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
-                        alpha_pow, interpret)
+                        alpha_pow, exact_clip, interpret)
     return acc, (fields, meta, band, rect, cut, params_row, slot_mask,
                  wd_ab)
 
 
 def _tail_core_bwd(k_bands, nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
-                   alpha_pow, interpret, res, d_acc):
+                   alpha_pow, exact_clip, interpret, res, d_acc):
     fields, meta, band, rect, cut, params_row, slot_mask, wd_ab = res
     df = _tail_bwd(fields, meta, band, rect, cut, params_row, slot_mask,
                    wd_ab, d_acc,
                    k_bands, nx, ny, chunk, budget, budget_lo, s_cy, s_cx,
-                   alpha_pow, interpret)
+                   alpha_pow, exact_clip, interpret)
     return (df, _float0_like(meta), _float0_like(band), _float0_like(rect),
             _float0_like(cut), jnp.zeros_like(params_row),
             None if slot_mask is None else _float0_like(slot_mask),

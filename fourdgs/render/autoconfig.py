@@ -56,7 +56,12 @@ def auto_render_config(n_splats: int, width: int, height: int,
     """
     res_scale = max(width / 1920.0, height / 1088.0, 1.0)
     budget = math.ceil(4 * res_scale)
-    compact = 64 if n_splats >= 2_000_000 else 192
+    # keep = row live mean + >6 sigma: post-prune live fraction at bench
+    # scale is ~4% of 512-slot rows (mean 21, sigma 4.5) -> 48 holds with
+    # >6 sigma margin and was measured loss-free (compact_dropped 0) and
+    # ~0.8 ms faster than 64 at the 10M bench (round 5). Small scenes
+    # keep a larger fraction (prune is per-tile): 192.
+    compact = 48 if n_splats >= 2_000_000 else 192
     cfg = dict(
         tile_h=16, tile_w=128, backend="pallas",
         max_splats_per_tile=384,
@@ -80,6 +85,12 @@ def auto_render_config(n_splats: int, width: int, height: int,
             tail_bands=8,
             tail_block=(16, 16),
             tail_chunk=2048,
+            # The head's exact quad clip in the tail too: measured FREE
+            # (within noise at the 10M bench) and semantically faithful
+            # to the reference's quad-bounded fragments. It does NOT move
+            # the parity gate's p99 (round-5 measurement) — see
+            # ARCHITECTURE.md's round-5 attribution table.
+            tail_exact_clip=True,
         )
     else:
         cfg.update(depth_prune_safety=2.0)

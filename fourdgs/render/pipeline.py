@@ -120,6 +120,13 @@ class RenderConfig:
     # plain OIT loses (the r4 parity gate's dominant error mode). 0 =
     # plain OIT.
     tail_alpha_power: int = 0
+    # Apply the head's exact |n| <= 0.5 quad clip in the tail kernel too
+    # (reference: fragments only exist inside the quad,
+    # Splat4DVertexShaderInstanced.GLSL:145-147). Without it the tail
+    # integrates each splat's w in [1e-4, 3.4e-4) fringe OUTSIDE the quad
+    # over ~1000 pairs/pixel — measured as the dominant term of the 1M
+    # parity gate's p99 (round 5).
+    tail_exact_clip: bool = False
 
 
 def _pad_pairs(pair_splat: jax.Array, m: int) -> jax.Array:
@@ -542,7 +549,8 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
             fields, meta, band, rect, cut, params_row, k_bands=k_bands,
             nx=nx, ny=ny, chunk=chunk, budget=cfg.max_tiles_per_splat,
             s_cy=s_cy, s_cx=s_cx, slot_mask=slot_mask, wd_ab=wd_ab,
-            alpha_pow=cfg.tail_alpha_power)
+            alpha_pow=cfg.tail_alpha_power,
+            exact_clip=cfg.tail_exact_clip)
 
     if binning.big_ids is not None:
         # Big-tier stream: the kept wide-span splat ids re-walked with the
@@ -572,7 +580,8 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
                 k_bands=k_bands, nx=nx, ny=ny, chunk=chunk_b,
                 budget=cfg.big_splat_budget, s_cy=s_cy, s_cx=s_cx,
                 budget_lo=cfg.max_tiles_per_splat, slot_mask=mask_b,
-                wd_ab=wd_ab_b, alpha_pow=cfg.tail_alpha_power)
+                wd_ab=wd_ab_b, alpha_pow=cfg.tail_alpha_power,
+                exact_clip=cfg.tail_exact_clip)
 
     # Fold bands, upsample the coarse tail field, blend under T_head.
     with jax.named_scope("tail_combine"):

@@ -274,7 +274,8 @@ def check_sort():
     return res
 
 
-def check_tail_parity():
+def check_tail_parity(n=1_000_000, width=1024, height=512, seed=2,
+                      deepening_passes=80):
     """Mid-scale on-chip parity gate (VERDICT r3 #7): ~1M splats through
     the FULL production stack — quantized sort, prune + post-sort re-cut,
     Pallas head, streaming banded-OIT tail — against an exhaustively
@@ -283,7 +284,12 @@ def check_tail_parity():
     tail's approximation (coarse sampling + within-band OIT mixing) is
     REAL error and this measures it where an exact reference is still
     computable. The exact reference must itself report ~zero residual
-    transmittance or the gate is invalid."""
+    transmittance or the gate is invalid.
+
+    With n=10M and the bench camera/resolution this IS the parity
+    artifact at the headline scene itself (VERDICT r4 weak #2); run via
+    FOURDGS_VALIDATE_10M=1 (adds several minutes: the exact reference
+    deepens every tile to its full ~36K-pair depth)."""
     import jax
     import jax.numpy as jnp
     from bench import build_cube_scene
@@ -291,24 +297,25 @@ def check_tail_parity():
     from fourdgs.render.pipeline import RenderConfig, render_params4d_packed
     from fourdgs.splats.packed import morton_order
 
-    n = 1_000_000
-    params = morton_order(build_cube_scene(n, seed=2))
+    params = morton_order(build_cube_scene(n, seed=seed))
     cam = Camera.create(position=(420.0, 300.0, 420.0),
                         orientation=(-1.0, -0.7, -1.0),
-                        far=5000.0, width=1024, height=512)
+                        far=5000.0, width=width, height=height)
     kw = dict(tile_h=16, tile_w=128, max_tiles_per_splat=8,
               splat_chunk=128, big_splat_budget=16)
     cfg_exact = RenderConfig(backend="pallas", **kw,
                              max_splats_per_tile=512,
                              quantized_depth_sort=True,
-                             deepening_fraction=1.0, deepening_passes=80)
+                             deepening_fraction=1.0,
+                             deepening_passes=deepening_passes)
     cfg_tail = RenderConfig(backend="pallas", **kw,
                             max_splats_per_tile=384,
                             quantized_depth_sort=True,
                             depth_prune_cap=384, depth_prune_safety=1.2,
                             deepening_fraction=1.0,
                             tail_mode="banded", tail_bands=8,
-                            tail_block=(16, 16))
+                            tail_block=(16, 16),
+                            tail_exact_clip=True)
     img_x, aux_x = jax.jit(lambda p: render_params4d_packed(
         p, cam, 0.0, cfg=cfg_exact, return_aux=True))(params)
     img_t, aux_t = jax.jit(lambda p: render_params4d_packed(
@@ -349,6 +356,13 @@ def main() -> int:
         "sort": check_sort(),
         "tail_parity_1m": check_tail_parity(),
     }
+    if os.environ.get("FOURDGS_VALIDATE_10M"):
+        # The parity artifact at the BENCH scene itself (10M, 1080p):
+        # exact reference exhausts the deepest tile (~36K pairs needs
+        # 72 passes x 512).
+        results["tail_parity_10m"] = check_tail_parity(
+            n=10_000_000, width=1920, height=1088, seed=0,
+            deepening_passes=80)
     ok = True
     for k in ("records_8x128", "records_16x128"):
         r = results[k]
