@@ -12,8 +12,10 @@ this). The full frame is timed end to end inside one jit: 4D temporal slice,
 EWA projection, cull, tile binning, fused (tile, depth) sort, record gather,
 and the Pallas tile compositor, on one real TPU chip.
 
-Env overrides: FOURDGS_BENCH_SPLATS, FOURDGS_BENCH_{WIDTH,HEIGHT},
-FOURDGS_BENCH_BACKEND (pallas|xla), FOURDGS_BENCH_REPS.
+The pipeline configuration derives from fourdgs/render/autoconfig.py
+(zero overrides needed at any measured size/resolution); FOURDGS_BENCH_*
+env vars override workload (SPLATS/WIDTH/HEIGHT/BACKEND/REPS/TAIL) and,
+when explicitly set, individual RenderConfig fields (see _env_over).
 """
 
 from __future__ import annotations

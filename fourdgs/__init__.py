@@ -31,3 +31,15 @@ Layer map (mirrors SURVEY.md section 7):
 __version__ = "0.1.0"
 
 from fourdgs.core.camera import Camera  # noqa: F401
+
+# Lazy re-exports for the most-used entry points (kept lazy so importing
+# fourdgs never pulls pallas/pipeline modules eagerly on tiny consumers).
+def __getattr__(name):
+    if name in ("RenderConfig", "render_splats4d", "render_splats3d",
+                "render_splats2d", "render_params4d_packed"):
+        from fourdgs.render import pipeline
+        return getattr(pipeline, name)
+    if name == "auto_render_config":
+        from fourdgs.render.autoconfig import auto_render_config
+        return auto_render_config
+    raise AttributeError(name)
