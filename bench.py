@@ -137,7 +137,12 @@ def bench_setup():
         # to the tail-chunk multiple makes every derived field
         # chunk-aligned, so the frame's internal pads become no-ops.
         from fourdgs.splats.packed import morton_order, pad_packed_params
-        params = pad_packed_params(morton_order(params), 2048)
+        # 16384 = the pack kernel's largest block (ops/pack_pallas._blk_for
+        # picks the largest power-of-two block DIVIDING the padded length):
+        # a 2048-multiple scene forced 2 KB blocks = 4883 tiny-DMA grid
+        # steps per pack (~2.9 ms fields + ~1.9 ms meta measured); a
+        # 16384-multiple runs 4x fewer, bigger steps.
+        params = pad_packed_params(morton_order(params), 16384)
     params = _force(params)
 
     camera = Camera.create(position=(420.0, 300.0, 420.0),
