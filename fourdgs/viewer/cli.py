@@ -163,13 +163,15 @@ def main(argv=None):
                         width=args.width, height=args.height)
 
     if args.converged:
-        cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas",
-                           background=bg, max_splats_per_tile=256,
-                           max_tiles_per_splat=8, splat_chunk=128,
-                           quantized_depth_sort=True, big_splat_budget=16,
-                           depth_prune_cap=256, depth_prune_safety=1.2,
-                           deepening_fraction=1.0, tail_mode="banded",
-                           tail_block=(4, 8))
+        # Derived by the library's auto-configuration (round 5) with the
+        # small-scene/viewer-friendly tile shape; every pair composited.
+        from fourdgs.render.autoconfig import auto_render_config
+        cfg = auto_render_config(400_000, args.width, args.height,
+                                 background=bg, tile_h=8,
+                                 max_splats_per_tile=256,
+                                 max_tiles_per_splat=8,
+                                 depth_prune_cap=256, tail_block=(4, 8),
+                                 tail_chunk=1024)
     elif args.backend == "pallas":
         cfg = RenderConfig(tile_h=8, tile_w=128, backend="pallas", background=bg)
     else:
