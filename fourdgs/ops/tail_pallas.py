@@ -506,7 +506,15 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, mask_ref,
         mty0 = meta_ref[2:3, :]
         mty1 = meta_ref[3:4, :]
         nxs_c = jnp.maximum(mtx1 - mtx0 + 1, 1)
-        oy_c = s // nxs_c
+        # Division-free slot walk: oy = floor(s / nxs) with STATIC s is
+        # sum_{k=1..s} [k * nxs <= s] = sum_{k=1..s} [nxs <= s // k]
+        # (s // k folds to a constant) — s compare+adds instead of a
+        # vector i32 division, which Mosaic expands to a long
+        # multiply/shift sequence on every (1, chunk) value (same trick
+        # the XLA emitter uses via carried offsets, tiles.py).
+        oy_c = jnp.zeros_like(nxs_c)
+        for k in range(1, s + 1):
+            oy_c = oy_c + (nxs_c <= s // k).astype(jnp.int32)
         ox_c = s - oy_c * nxs_c
         span_c = meta_ref[5:6, :]
         live_c = ((s < span_c) & (span_c > budget_lo)
@@ -525,8 +533,8 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, mask_ref,
         live_c = live_c & (key_c > cutv.reshape(1, chunk))
         # Stage (live, tx, ty) through a tiny scratch so the sample-space
         # eval below reads STATIC ref slices instead of recomputing the
-        # slot walk (vector integer divide) and the 16-shuffle cut lookup
-        # per sub-block (measured ~4 ms/frame of duplicate work).
+        # slot walk and the 16-shuffle cut lookup per sub-block (measured
+        # ~4 ms/frame of duplicate work).
         # (A rect-bounded pl.when skip of unused cut rows was measured
         # SLOWER — ~5 ms/frame of branch + scratch-RMW machinery at
         # chunk granularity; the 16 register-resident shuffles win.)
@@ -946,7 +954,10 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
         mty0 = meta_ref[2:3, :]
         mty1 = meta_ref[3:4, :]
         nxs_c = jnp.maximum(mtx1 - mtx0 + 1, 1)
-        oy_c = s // nxs_c
+        # Division-free slot walk (see the forward kernel).
+        oy_c = jnp.zeros_like(nxs_c)
+        for k in range(1, s + 1):
+            oy_c = oy_c + (nxs_c <= s // k).astype(jnp.int32)
         ox_c = s - oy_c * nxs_c
         span_c = meta_ref[5:6, :]
         live_c = ((s < span_c) & (span_c > budget_lo)
