@@ -67,11 +67,19 @@ def record_fields(proj, p00, p11, pad_to: int | None = None) -> jax.Array:
     diagonal), matching the kernel's pixel coordinates.
 
     With pad_to (a multiple of 1024), the matrix is (N_FIELDS, pad_to)
-    with zero tail columns, built by the pack_pallas repack kernel —
-    jnp.stack costs XLA one relayout loop per row at bench scale
-    (~6.6 ms/frame at 10M; see ops/pack_pallas.py)."""
+    with zero tail columns, built by the pack_pallas FUSED record kernel:
+    the five derived rows (center scaling, inverse eigenvalues) are
+    computed inside the pack grid — jnp.stack costs XLA one relayout
+    loop per row at bench scale (~6.6 ms/frame at 10M), and even the
+    repack kernel on pre-built rows pays ~1.6 ms of divide/multiply +
+    relayout fusions materializing them first (round-5 trace)."""
     dtype = proj.mx.dtype
     a_eff = proj.opacity * proj.a * proj.valid.astype(dtype)
+    if pad_to is not None:
+        from fourdgs.ops.pack_pallas import pack_record_fields
+        return pack_record_fields(
+            proj.mx, proj.my, proj.v0x, proj.v0y, proj.l0, proj.l1,
+            proj.r, proj.g, proj.b, a_eff, p00, p11, pad_to)
     rows = [
         proj.mx / p00,
         proj.my / p11,
@@ -80,9 +88,6 @@ def record_fields(proj, p00, p11, pad_to: int | None = None) -> jax.Array:
         proj.r, proj.g, proj.b,
         a_eff,
     ]
-    if pad_to is not None:
-        from fourdgs.ops.pack_pallas import pack_rows
-        return pack_rows(rows, pad_to)                # (10, pad_to)
     return jnp.stack(rows, axis=0)                    # (10, N)
 
 

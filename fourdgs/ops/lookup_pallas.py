@@ -44,6 +44,64 @@ def _kernel(cut_ref, k_ref, o_ref):
     o_ref[...] = jnp.where(k <= c, k, DEAD)
 
 
+def _sample_kernel(*refs, n_arr: int, take_rows: int):
+    in_refs, out_refs = refs[:n_arr], refs[n_arr:]
+    g = pl.program_id(0)
+    for i in range(n_arr):
+        out_refs[i][pl.ds(g * take_rows, take_rows), :] = \
+            in_refs[i][0:take_rows, :]
+
+
+def sample_blocks(arrs, stride_rows: int, take_rows: int = 2,
+                  interpret: bool | None = None):
+    """Evenly-spaced contiguous-block subsample of (N,) i32/f32 arrays:
+    every stride_rows-th (128-lane) row window contributes its first
+    take_rows rows. Returns a list of (nblocks * take_rows * 128,)
+    samples (one per input, shared positions).
+
+    Every XLA formulation of this pattern is latency-bound, not
+    bandwidth-bound (measured at the 10M bench: vmapped dynamic-slice
+    rows ~1 us per block — 0.7 ms for 586 blocks, 2.4 ms for 2332; the
+    reshape-column-slice x.reshape(-1, 8192)[:, :128] 0.94 ms for
+    0.6 MB). A pallas grid with a static strided index_map makes each
+    block one PIPELINED input DMA: the same 2332-block sample costs
+    ~0.05 ms, which is what makes SMALL sample blocks affordable — and
+    small blocks are what bound the depth-prune cut estimator's
+    locality variance (see render/tiles.depth_prune_cutkeys)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n = arrs[0].shape[0]
+    assert n % 128 == 0 and all(a.shape == (n,) for a in arrs)
+    rows = n // 128
+    # Input blocks are 8 sublanes (the TPU tile height); only take_rows
+    # of each are kept, so the DMA over-reads 8/take_rows-fold — still
+    # ~KB per block.
+    in_rows = 8
+    assert 1 <= take_rows <= in_rows
+    nblocks = max(1, (rows - in_rows) // stride_rows + 1)
+    views = [a.reshape(rows, 128) for a in arrs]
+    kern = lambda *r: _sample_kernel(*r, n_arr=len(arrs),  # noqa: E731
+                                     take_rows=take_rows)
+    outs = pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[pl.BlockSpec((in_rows, 128),
+                               lambda g: (g * stride_rows // in_rows, 0))
+                  ] * len(arrs),
+        # Whole-output VMEM residency with per-step row stores (a
+        # (take_rows, 128) output block would violate the 8-sublane
+        # blocking rule).
+        out_specs=[pl.BlockSpec((nblocks * take_rows, 128),
+                                lambda g: (0, 0))] * len(arrs),
+        out_shape=[jax.ShapeDtypeStruct((nblocks * take_rows, 128),
+                                        a.dtype) for a in arrs],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*views)
+    return [o.reshape(-1) for o in outs]
+
+
 def apply_cutkeys(key: jax.Array, cut: jax.Array,
                   interpret: bool | None = None) -> jax.Array:
     """key (S,) int32, cut (T,) int32 (T <= 2048) -> pruned keys (S,):

@@ -96,6 +96,102 @@ def _pack_core_bwd(blk, interpret, res, d_out):
 _pack_core.defvjp(_pack_core_fwd, _pack_core_bwd)
 
 
+_REC_COPY_ROWS = (2, 3, 6, 7, 8, 9)   # v0x, v0y, r, g, b, a_eff
+_REC_SCALE_ROWS = {0: 0, 1: 1}        # mx * inv_p00, my * inv_p11
+_REC_RECIP_ROWS = (4, 5)              # 1 / l0, 1 / l1
+
+
+def _pack_rec_kernel(scal_ref, *refs, blk: int):
+    """Fused record_fields + repack: compute the 5 derived rows (center
+    scaling, inverse eigenvalues) IN the pack kernel instead of
+    materializing each as its own (N,) array first (XLA traced ~1.6 ms of
+    divide/multiply+relayout fusions per 10M frame building them)."""
+    in_refs, out_ref = refs[:10], refs[10]
+    inv00 = scal_ref[0, 0]
+    inv11 = scal_ref[0, 1]
+    for i in range(10):
+        x = in_refs[i][...]
+        if i in _REC_SCALE_ROWS:
+            x = x * (inv00 if i == 0 else inv11)
+        elif i in _REC_RECIP_ROWS:
+            # Dead/padded entries carry l == 0: keep il finite (their
+            # a_eff is 0, so the value is never consumed).
+            x = jnp.where(x != 0.0, 1.0 / x, 0.0)
+        out_ref[i:i + 1, :] = x.reshape(1, blk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _pack_rec_core(views, scal, blk: int, interpret: bool):
+    return _pack_rec_fwd_raw(views, scal, blk, interpret)
+
+
+def _pack_rec_fwd_raw(views, scal, blk: int, interpret: bool):
+    g = views[0].shape[0] * 128 // blk
+    kern = functools.partial(_pack_rec_kernel, blk=blk)
+    return pl.pallas_call(
+        kern,
+        grid=(g,),
+        in_specs=[pl.BlockSpec((1, 128), lambda i: (0, 0),
+                               memory_space=pltpu.VMEM)]
+        + [pl.BlockSpec((blk // 128, 128), lambda i: (i, 0),
+                        memory_space=pltpu.VMEM)] * 10,
+        out_specs=pl.BlockSpec((10, blk), lambda i: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((10, g * blk), views[0].dtype),
+        interpret=interpret,
+    )(scal, *views)
+
+
+def _pack_rec_core_fwd(views, scal, blk, interpret):
+    out = _pack_rec_fwd_raw(views, scal, blk, interpret)
+    return out, (views[0], views[1], views[4], views[5], scal)
+
+
+def _pack_rec_core_bwd(blk, interpret, res, d_out):
+    # Elementwise chain back to the raw component views — plain traced
+    # ops (training-only path; the forward's fusion win is what matters).
+    mx, my, l0, l1, scal = res
+    inv00 = scal[0, 0]
+    inv11 = scal[0, 1]
+
+    def row(i):
+        return d_out[i].reshape(mx.shape)
+
+    il0 = jnp.where(l0 != 0.0, 1.0 / l0, 0.0)
+    il1 = jnp.where(l1 != 0.0, 1.0 / l1, 0.0)
+    d_views = (row(0) * inv00, row(1) * inv11,
+               row(2), row(3),
+               -row(4) * il0 * il0, -row(5) * il1 * il1,
+               row(6), row(7), row(8), row(9))
+    d_scal = jnp.zeros_like(scal).at[0, 0].set(
+        jnp.sum(row(0) * mx)).at[0, 1].set(jnp.sum(row(1) * my))
+    return d_views, d_scal
+
+
+_pack_rec_core.defvjp(_pack_rec_core_fwd, _pack_rec_core_bwd)
+
+
+def pack_record_fields(mx, my, v0x, v0y, l0, l1, r, g, b, a_eff,
+                       p00, p11, pad_to: int,
+                       interpret: bool | None = None) -> jax.Array:
+    """(10, pad_to) composite/tail record matrix straight from projected
+    components: [mx/p00, my/p11, v0x, v0y, 1/l0, 1/l1, r, g, b, a_eff],
+    derived rows computed inside the pack kernel (zero intermediate (N,)
+    materializations). Padded tail columns are zero (il rows included:
+    the kernel maps l == 0 to il == 0, matching the jnp construction
+    that pads AFTER the reciprocal)."""
+    n = mx.shape[0]
+    assert pad_to >= n and pad_to % 1024 == 0, (n, pad_to)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scal = jnp.zeros((1, 128), mx.dtype).at[0, 0].set(1.0 / p00) \
+                                        .at[0, 1].set(1.0 / p11)
+    rows = (mx, my, v0x, v0y, l0, l1, r, g, b, a_eff)
+    views = tuple(jnp.pad(f, (0, pad_to - n)).reshape(pad_to // 128, 128)
+                  for f in rows)
+    return _pack_rec_core(views, scal, _blk_for(pad_to), interpret)
+
+
 def pack_rows(rows, pad_to: int, interpret: bool | None = None) -> jax.Array:
     """Stack R same-dtype (N,) arrays into an (R, pad_to) matrix (tail
     entries zero-padded), avoiding XLA's per-row relayout loops.

@@ -508,18 +508,18 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
     k_bands = cfg.tail_bands
 
     # Global depth-band cuts from a contiguous-block subsample of live
-    # depth bits (a strided slice would lower to an XLA gather — ~8 ms at
-    # 10M; block slices are contiguous reads. A vmapped dynamic-slice
-    # formulation was measured SLOWER — +2.4 ms of gather machinery vs
-    # this reshape's strided copy).
+    # depth bits. Every XLA formulation of strided block extraction is
+    # latency-bound (~1 us/block: the reshape-column-slice here traced
+    # 0.94 ms for 0.6 MB; a vmapped dynamic-slice variant was 2.4 ms) —
+    # the pipelined pallas sampler does it at DMA speed.
     n = dbits.shape[0]
-    m_blk = (n // 8192) * 8192
-    if m_blk >= 8192:
-        db_s = dbits[:m_blk].reshape(-1, 8192)[:, :128].reshape(-1)
-        al_s = alive[:m_blk].reshape(-1, 8192)[:, :128].reshape(-1)
+    if n >= 16384 and n % 128 == 0:
+        from fourdgs.ops.lookup_pallas import sample_blocks
+        db_live_s, = sample_blocks([jnp.where(alive, dbits, dead)],
+                                   stride_rows=64, take_rows=1)
     else:
-        db_s, al_s = dbits, alive
-    band_cuts = TPL.global_band_cuts(jnp.where(al_s, db_s, dead), k_bands)
+        db_live_s = jnp.where(alive, dbits, dead)
+    band_cuts = TPL.global_band_cuts(db_live_s, k_bands)
 
     # Affine sample-coordinate params (k units; see tail_pallas docstring;
     # ty_base folds the tile-row band's pixel offset into the constants).
@@ -542,7 +542,7 @@ def _apply_banded_tail(out, proj: Projected, binning, p00, p11,
     coeffs = None
     wd_ab = None
     if cfg.tail_depth_beta:
-        d_lo, d_hi = TPL.global_band_extremes(jnp.where(al_s, db_s, dead))
+        d_lo, d_hi = TPL.global_band_extremes(db_live_s)
         coeffs = TPL.band_weight_coeffs(band_cuts, d_lo, d_hi, k_bands,
                                         cfg.tail_depth_beta)
         wd_ab = coeffs[band]                                 # (S, 2)

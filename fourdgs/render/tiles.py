@@ -142,6 +142,45 @@ def compact_pairs(key: jax.Array, val: jax.Array, dead: int, keep_cols: int,
     return ks, vs, dropped
 
 
+def compact_flag_ids(flag: jax.Array, blk: int = 1024, hot_cap: int = 1024,
+                     keep: int = 24):
+    """Compact the indices of a SPARSE boolean flag via hot-block
+    two-level extraction.
+
+    The big-splat tier needs {i : flag[i]} for a population of ~100-1000
+    out of 10M+; a direct compact_pairs row-sort over all N costs the
+    full 10M-slot sort (traced 2.05 ms/frame) to find 800 ids. Instead:
+    (1) one cheap any() reduction over contiguous `blk`-blocks, (2) a
+    tiny sort compacts the <= hot_cap flagged block ids, (3) a vmapped
+    contiguous-slice gather pulls just those blocks (hot_cap * blk
+    elements), (4) compact_pairs runs on that small volume. Flagged ids
+    beyond capacity — blocks past hot_cap or per-row keep overflow —
+    are counted in `dropped`, never silent.
+
+    Returns (ids, dropped): ids is a (hot_cap * blk // COMPACT_ROW_LEN *
+    keep,) int32 array of flagged indices (dead = int32 max sentinel in
+    unused capacity). Requires flag.shape[0] % blk == 0."""
+    n = flag.shape[0]
+    assert n % blk == 0, (n, blk)
+    dead = jnp.iinfo(jnp.int32).max
+    iota = jnp.arange(n, dtype=jnp.int32)
+    fkey = jnp.where(flag, iota, dead)
+    nb = n // blk
+    hot = jnp.any(flag.reshape(nb, blk), axis=1)
+    hot_cap = min(nb, hot_cap)
+    hkey = jnp.where(hot, jnp.arange(nb, dtype=jnp.int32), dead)
+    sel = jax.lax.sort(hkey, is_stable=False)[:hot_cap]
+    miss = sel == dead
+    starts = jnp.minimum(sel, nb - 1) * blk
+    seg = jax.vmap(
+        lambda s0: jax.lax.dynamic_slice_in_dim(fkey, s0, blk))(starts)
+    seg = jnp.where(miss[:, None], dead, seg).reshape(-1)
+    ids, _, dropped = compact_pairs(seg, seg, dead, keep)
+    # Flagged ids in blocks past hot_cap were never gathered: loud.
+    dropped = dropped + (jnp.sum(flag) - jnp.sum(seg != dead))
+    return ids, dropped
+
+
 def splat_tile_bbox(proj: Projected, p00, p11, width: int, height: int,
                     tile_h: int, tile_w: int):
     """Per-splat tile-space bbox + liveness: (alive, tx0, tx1, ty0, ty1).
@@ -319,20 +358,25 @@ def bin_splats(proj: Projected, p00, p11, width: int, height: int,
         if two_tier:
           with jax.named_scope("emit_big"):
             n = alive.shape[0]
-            iota = jnp.arange(n, dtype=jnp.int32)
-            bkey = jnp.where(is_big, iota, dead)
-            ids, _, big_dropped = compact_pairs(bkey, bkey, dead,
-                                                big_splat_keep_cols)
-            # Second-level compaction: the first pass's capacity scales
-            # with N (rows x keep = ~156K at 10M splats) but every
-            # downstream cost — the stacked field gathers here and in the
-            # tail's big stream — scales with CAPACITY, and the actual
-            # big population is tiny (795 at the 10M bench; ~25 ns per
-            # gather index x 200x dead slots was ~9 ms/frame). Drops are
-            # loud (overflowed), zero in practice.
-            ids, _, big_dropped2 = compact_pairs(ids, ids, dead,
-                                                 4 * big_splat_keep_cols)
-            big_dropped = big_dropped + big_dropped2
+            if n % 1024 == 0 and n >= 128 * 1024:
+                # Hot-block extraction (compact_flag_ids): finds the
+                # ~100-1000 wide-span splats without row-sorting all N
+                # slots (the direct compact_pairs over 10M traced
+                # 2.05 ms/frame just to locate 795 ids). Capacity =
+                # hot_cap*blk/8192*keep = 3072 ids; drops are loud
+                # (overflowed), zero in practice.
+                ids, big_dropped = compact_flag_ids(is_big)
+            else:
+                # Small/unpadded scenes: the direct two-level compaction
+                # (first pass capacity scales with N; the second shrinks
+                # it so every downstream gather cost scales with the
+                # tiny real population).
+                ids, _, big_dropped = compact_pairs(bk0 := jnp.where(
+                    is_big, jnp.arange(n, dtype=jnp.int32), dead), bk0,
+                    dead, big_splat_keep_cols)
+                ids, _, big_dropped2 = compact_pairs(ids, ids, dead,
+                                                     4 * big_splat_keep_cols)
+                big_dropped = big_dropped + big_dropped2
             blive = ids != dead
             safe = jnp.minimum(ids, n - 1)
             # ONE stacked gather for every per-splat field the big tier
@@ -534,27 +578,30 @@ def depth_prune_cutkeys(key: jax.Array, num_tiles: int, cap: int,
 
     Returns (T,) int32 cut keys: keep pair iff key <= cut[key >> 20].
     """
-    # Sample by CONTIGUOUS 128-wide blocks spread evenly over the array —
-    # a strided slice key[::stride] lowers to an XLA gather (traced at
-    # 8 ms for 610K elements of a 40.9M array), while vmapped
-    # dynamic-slice rows are contiguous reads (~free). A block's 128
-    # consecutive slots are consecutive splat ids within one emission
-    # slot — independent draws for i.i.d. scenes; for spatially-sorted
-    # splat lists the many spread-out blocks average localities, and
-    # `prune_underkeep` verifies the outcome either way.
-    blk = 1024
-    if key.shape[0] < stride * blk * 64:
+    # Sample by CONTIGUOUS 256-wide blocks spread evenly over the array.
+    # A block's consecutive slots are consecutive splat ids within one
+    # emission slot — independent draws for i.i.d. scenes; for
+    # spatially-sorted (Morton) splat lists each block is ONE locality,
+    # and a tile's cut estimate rests on the few blocks covering it: the
+    # estimator's variance is LOCALITY-count-bound, not sample-count-
+    # bound (measured round 5: a mere phase shift of a 1024-wide block
+    # grid swung total kept volume 15%, enough to breach the compaction
+    # keep margin; 256-wide blocks at the same sample volume carry 4x
+    # the localities). Small blocks are affordable only through the
+    # pipelined pallas sampler — every XLA formulation of strided block
+    # extraction is latency-bound at ~1 us per block (see
+    # ops/lookup_pallas.sample_blocks). `prune_underkeep` verifies the
+    # outcome either way.
+    blk = 256
+    take_rows = blk // 128
+    if key.shape[0] < stride * blk * 128 or key.shape[0] % 128:
         # Small arrays: the strided gather is cheap and mixes better than
         # a handful of blocks would.
         sample = key[::stride]
     else:
-        nblocks = key.shape[0] // (stride * blk)
-        span = max(1, (key.shape[0] - blk) // max(1, nblocks - 1))
-        starts = jnp.minimum(jnp.arange(nblocks, dtype=jnp.int32) * span,
-                             key.shape[0] - blk)
-        sample = jax.vmap(
-            lambda s: jax.lax.dynamic_slice_in_dim(key, s, blk))(starts)
-        sample = sample.reshape(-1)
+        from fourdgs.ops.lookup_pallas import sample_blocks
+        sample, = sample_blocks([key], stride_rows=stride * take_rows,
+                                take_rows=take_rows)
     ss = jax.lax.sort(sample, is_stable=False)
     tile_ids = jnp.arange(num_tiles + 1, dtype=jnp.int32)
     start = searchsorted_i32(ss, tile_ids << QUANT_DEPTH_BITS)   # (T+1,)

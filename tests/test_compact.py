@@ -75,6 +75,35 @@ class TestCompactPairs:
         np.testing.assert_array_equal(ks[ks != np.iinfo(np.int32).max],
                                       ref[ref != np.iinfo(np.int32).max])
 
+    def test_compact_flag_ids_exact_sparse(self):
+        """Hot-block extraction returns exactly the flagged index set for
+        sparse flags, including clustered ones, with dropped == 0."""
+        from fourdgs.render.tiles import compact_flag_ids
+        rng = np.random.default_rng(5)
+        n = 256 * 1024
+        for flags in (
+                rng.random(n) < 1e-4,                       # uniform sparse
+                np.r_[np.zeros(n - 2048, bool),             # one hot cluster
+                      rng.random(2048) < 0.2],
+                np.zeros(n, bool)):                         # empty
+            ids, dropped = compact_flag_ids(jnp.asarray(flags))
+            got = np.asarray(ids)
+            got = set(got[got != np.iinfo(np.int32).max].tolist())
+            assert got == set(np.flatnonzero(flags).tolist())
+            assert int(dropped) == 0
+
+    def test_compact_flag_ids_overflow_is_loud(self):
+        """Flags past the hot-block capacity are COUNTED, never silent."""
+        from fourdgs.render.tiles import compact_flag_ids
+        n = 256 * 1024
+        # One flag in every 1024-block: 256 hot blocks > hot_cap 8.
+        flags = np.zeros(n, bool)
+        flags[::1024] = True
+        ids, dropped = compact_flag_ids(jnp.asarray(flags), hot_cap=8)
+        kept = int(np.sum(np.asarray(ids) != np.iinfo(np.int32).max))
+        assert kept == 8
+        assert int(dropped) == 256 - 8
+
     def test_pipeline_image_unchanged(self):
         splats = make_scene(jax.random.PRNGKey(5))
         base = RenderConfig(max_splats_per_tile=256, splat_chunk=32,

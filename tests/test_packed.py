@@ -128,3 +128,42 @@ class TestPackRowsKernel:
         for a, b in zip(g_k, g_s):
             np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                        rtol=1e-6)
+
+    def _rec_inputs(self, key, n=1900, pad_to=2048):
+        ks = jax.random.split(key, 10)
+        comps = [jax.random.uniform(k, (n,), minval=0.2, maxval=1.0)
+                 for k in ks]
+        return comps, 1.7, 2.3
+
+    def _rec_jnp(self, comps, p00, p11, pad_to):
+        mx, my, v0x, v0y, l0, l1, r, g, b, a_eff = comps
+        rows = [mx / p00, my / p11, v0x, v0y, 1.0 / l0, 1.0 / l1,
+                r, g, b, a_eff]
+        return jnp.stack([jnp.pad(x, (0, pad_to - x.shape[0]))
+                          for x in rows])
+
+    def test_pack_record_fields_fwd(self):
+        from fourdgs.ops.pack_pallas import pack_record_fields
+        comps, p00, p11 = self._rec_inputs(jax.random.PRNGKey(3))
+        out = pack_record_fields(*comps, p00, p11, 2048, interpret=True)
+        want = self._rec_jnp(comps, p00, p11, 2048)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-6)
+
+    def test_pack_record_fields_bwd(self):
+        from fourdgs.ops.pack_pallas import pack_record_fields
+        comps, p00, p11 = self._rec_inputs(jax.random.PRNGKey(4))
+        cot = jax.random.normal(jax.random.PRNGKey(5), (10, 2048))
+
+        def via_kernel(cs):
+            return jnp.sum(pack_record_fields(*cs, p00, p11, 2048,
+                                              interpret=True) * cot)
+
+        def via_jnp(cs):
+            return jnp.sum(self._rec_jnp(cs, p00, p11, 2048) * cot)
+
+        g_k = jax.grad(via_kernel)(tuple(comps))
+        g_j = jax.grad(via_jnp)(tuple(comps))
+        for a, b in zip(g_k, g_j):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-5, atol=1e-6)
