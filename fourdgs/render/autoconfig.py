@@ -56,12 +56,18 @@ def auto_render_config(n_splats: int, width: int, height: int,
     """
     res_scale = max(width / 1920.0, height / 1088.0, 1.0)
     budget = math.ceil(4 * res_scale)
-    # keep = row live mean + >6 sigma: post-prune live fraction at bench
-    # scale is ~4% of 512-slot rows (mean 21, sigma 4.5) -> 48 holds with
-    # >6 sigma margin and was measured loss-free (compact_dropped 0) and
-    # ~0.8 ms faster than 64 at the 10M bench (round 5). Small scenes
-    # keep a larger fraction (prune is per-tile): 192.
-    compact = 48 if n_splats >= 2_000_000 else 192
+    # keep = row live mean + >5 sigma. In converged mode the low-variance
+    # 256-block prune sampler (ops/lookup_pallas.sample_blocks) lands the
+    # kept volume at its theoretical target (~0.94M pairs at the 10M
+    # bench = mean 12/row, sigma 3.5): keep 32 holds at +5.7 sigma,
+    # measured loss-free and ~1.2 ms faster than 48 (round 5). The
+    # non-converged mode prunes at safety 2.0 (higher live fraction):
+    # keep 48. Small scenes keep a larger fraction (prune is per-tile):
+    # 192.
+    if n_splats >= 2_000_000:
+        compact = 32 if converged else 48
+    else:
+        compact = 192
     cfg = dict(
         tile_h=16, tile_w=128, backend="pallas",
         max_splats_per_tile=384,
