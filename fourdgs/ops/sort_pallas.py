@@ -322,14 +322,23 @@ def _rowsort_kernel(k_ref, v_ref, *refs, row_len: int,
     v = v_ref[...]
     s = row_len
     if cut_ref is not None:
-        tid = jnp.clip(k >> key_shift, 0, 16 * 128 - 1)
-        hi = tid >> 7
-        lo = tid & 127
-        cutv = jnp.zeros(k.shape, jnp.int32)
-        for h in range(16):
-            rowb = jnp.broadcast_to(cut_ref[h:h + 1, :], k.shape)
-            got = jnp.take_along_axis(rowb, lo, axis=1)
-            cutv = jnp.where(hi == h, got, cutv)
+        # Per-128-lane groups: Mosaic lane shuffles (take_along_axis)
+        # operate within 128-lane registers, so wider blocks look the
+        # table up one lane-group at a time.
+        groups = []
+        for c0 in range(0, cols, 128):
+            kg = k[:, c0:c0 + 128]
+            tid = jnp.clip(kg >> key_shift, 0, 16 * 128 - 1)
+            hi = tid >> 7
+            lo = tid & 127
+            cutv = jnp.zeros(kg.shape, jnp.int32)
+            for h in range(16):
+                rowb = jnp.broadcast_to(cut_ref[h:h + 1, :], kg.shape)
+                got = jnp.take_along_axis(rowb, lo, axis=1)
+                cutv = jnp.where(hi == h, got, cutv)
+            groups.append(cutv)
+        cutv = groups[0] if len(groups) == 1 else jnp.concatenate(
+            groups, axis=1)
         k = jnp.where(k > cutv, DEAD, k)
         live_ref[...] = jnp.sum((k != DEAD).astype(jnp.int32), axis=0,
                                 keepdims=True)
@@ -367,7 +376,11 @@ def _rowsort_kernel(k_ref, v_ref, *refs, row_len: int,
         ov_ref[...] = v[:keep]
 
 
-ROWSORT_COLS = 128          # logical rows (lanes) per grid step
+# Logical rows (lanes) per rowsort grid step: 256 amortizes the per-step
+# dispatch/staging overhead over 2x the volume vs 128 (measured -1.4 ms
+# at the 10M bench; 512 regresses - VMEM pressure on the (row_len, cols)
+# kv block).
+ROWSORT_COLS = 256
 
 
 def rowsort_compact(key: jax.Array, val: jax.Array, keep_cols: int,

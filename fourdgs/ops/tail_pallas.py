@@ -697,7 +697,7 @@ def _tail_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref, mask_ref,
         if (s + 1) * nsub <= 30:
             mask_s = (mask >> (s * nsub)) & ((1 << nsub) - 1)
         else:
-            mask_s = jnp.int32((1 << nsub) - 1)
+            mask_s = jnp.int32(-1 if nsub >= 31 else (1 << nsub) - 1)
 
         @pl.when(mask_s != 0)
         def _slot(s=s, mask_s=mask_s):
@@ -1152,7 +1152,7 @@ def _tail_bwd_kernel(band_ref, txw_ref, tyw_ref, nwx_ref, nwy_ref,
         if (s + 1) * nsub <= 30:
             mask_s = (mask >> (s * nsub)) & ((1 << nsub) - 1)
         else:
-            mask_s = jnp.int32((1 << nsub) - 1)
+            mask_s = jnp.int32(-1 if nsub >= 31 else (1 << nsub) - 1)
 
         @pl.when(mask_s != 0)
         def _slot(s=s, mask_s=mask_s):

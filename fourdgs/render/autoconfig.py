@@ -86,11 +86,22 @@ def auto_render_config(n_splats: int, width: int, height: int,
     )
     if converged:
         cfg.update(
+            # Head slab 256 (vs the non-converged 384): head depth is
+            # parity-FLAT (the r5 slab sweep 128->768 moved p99 by
+            # nothing — the envelope is tail-sampling-bound, see
+            # ARCHITECTURE.md), and the smaller exact head is ~1.3 ms
+            # cheaper at the 10M bench.
+            max_splats_per_tile=256,
+            depth_prune_cap=256,
             depth_prune_safety=1.2,
             tail_mode="banded",
             tail_bands=8,
             tail_block=(16, 16),
-            tail_chunk=2048,
+            # 16384-splat grid steps: the kernel's per-step overhead
+            # (scalar prefetch, window staging) dominated at 2048
+            # (measured 59.5 -> 52.9 ms via 4096/8192/16384; 32768
+            # regresses — window rects grow with the Morton block).
+            tail_chunk=16384,
             # The head's exact quad clip in the tail too: measured FREE
             # (within noise at the 10M bench) and semantically faithful
             # to the reference's quad-bounded fragments. It does NOT move

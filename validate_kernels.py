@@ -308,14 +308,11 @@ def check_tail_parity(n=1_000_000, width=1024, height=512, seed=2,
                              quantized_depth_sort=True,
                              deepening_fraction=1.0,
                              deepening_passes=deepening_passes)
-    cfg_tail = RenderConfig(backend="pallas", **kw,
-                            max_splats_per_tile=384,
-                            quantized_depth_sort=True,
-                            depth_prune_cap=384, depth_prune_safety=1.2,
-                            deepening_fraction=1.0,
-                            tail_mode="banded", tail_bands=8,
-                            tail_block=(16, 16),
-                            tail_exact_clip=True)
+    # The gate certifies the SHIPPED flagship configuration: whatever
+    # auto_render_config derives for this (n, resolution) is what the
+    # bench and the viewer run.
+    from fourdgs.render.autoconfig import auto_render_config
+    cfg_tail = auto_render_config(n, width, height, converged=True)
     img_x, aux_x = jax.jit(lambda p: render_params4d_packed(
         p, cam, 0.0, cfg=cfg_exact, return_aux=True))(params)
     img_t, aux_t = jax.jit(lambda p: render_params4d_packed(
