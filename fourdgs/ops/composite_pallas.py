@@ -94,11 +94,74 @@ def record_fields(proj, p00, p11, pad_to: int | None = None) -> jax.Array:
 N_FIELDS = 10
 
 
+def _enc_bf16_pair(hi: jax.Array, lo: jax.Array) -> jax.Array:
+    """Round-to-nearest bf16 of two f32 arrays packed into one f32 word
+    (hi in the top 16 bits). Finite inputs only."""
+    hb = (jax.lax.bitcast_convert_type(hi, jnp.int32) + 0x8000) \
+        & jnp.int32(0xFFFF0000)
+    lb = ((jax.lax.bitcast_convert_type(lo, jnp.int32) + 0x8000) >> 16) \
+        & jnp.int32(0xFFFF)
+    return jax.lax.bitcast_convert_type(hb | lb, jnp.float32)
+
+
+def _dec_bf16_pair(packed: jax.Array):
+    bits = jax.lax.bitcast_convert_type(packed, jnp.int32)
+    hi = jax.lax.bitcast_convert_type(bits & jnp.int32(0xFFFF0000),
+                                      jnp.float32)
+    lo = jax.lax.bitcast_convert_type(bits << 16, jnp.float32)
+    return hi, lo
+
+
+@jax.custom_vjp
+def _gather_records_8row(rec: jax.Array, tile_splat: jax.Array):
+    """rec (10, N) -> gathered (T, 10, M), moving only ONE 32-byte
+    sublane granule per index: a TPU gather fetches whole 8-sublane
+    granules, so the 10-row matrix costs two granules per index (traced
+    5.2-6.8 ms/frame at the 10M bench) while an 8-row encoding — colors
+    and a_eff as round-to-nearest bf16 pairs, geometry untouched f32 —
+    costs one. bf16 color/alpha is BELOW the reference's own output
+    precision (its GL pipeline blends into an 8-bit-per-channel
+    framebuffer, quantizing after EVERY blend; bf16 holds ~3 decimal
+    digits once). The VJP is straight-through (quantization treated as
+    identity): the same scatter-add the plain gather's transpose emits.
+    """
+    return _gather_records_8row_fwd(rec, tile_splat)[0]
+
+
+def _gather_records_8row_fwd(rec, tile_splat):
+    enc = jnp.concatenate([
+        rec[0:6],
+        _enc_bf16_pair(rec[6], rec[7])[None],     # (r, g)
+        _enc_bf16_pair(rec[8], rec[9])[None],     # (b, a_eff)
+    ])                                            # (8, N)
+    g8 = enc[:, tile_splat].transpose(1, 0, 2)    # (T, 8, M)
+    r, g = _dec_bf16_pair(g8[:, 6])
+    b, a = _dec_bf16_pair(g8[:, 7])
+    out = jnp.concatenate(
+        [g8[:, 0:6], r[:, None], g[:, None], b[:, None], a[:, None]],
+        axis=1)                                   # (T, 10, M)
+    return out, (tile_splat, rec.shape)
+
+
+def _gather_records_8row_bwd(res, d_out):
+    tile_splat, rec_shape = res
+    d_rec = jnp.zeros(rec_shape, d_out.dtype).at[
+        :, tile_splat].add(d_out.transpose(1, 0, 2))
+    return d_rec, None
+
+
+_gather_records_8row.defvjp(_gather_records_8row_fwd,
+                            _gather_records_8row_bwd)
+
+
 def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
-                 p00, p11, rec: jax.Array | None = None) -> jax.Array:
+                 p00, p11, rec: jax.Array | None = None,
+                 pack8: bool = False) -> jax.Array:
     """Gather per-tile splat records into the kernel layout (T, F, M);
     tile_live additionally zeroes a_eff for dead list entries. `rec`
-    passes a precomputed record_fields matrix (shared with the tail)."""
+    passes a precomputed record_fields matrix (shared with the tail);
+    pack8 gathers through the bf16-color 8-row encoding (halves the
+    gather's granule traffic; see _gather_records_8row)."""
     dtype = proj.mx.dtype
     if rec is None:
         rec = record_fields(proj, p00, p11)
@@ -107,19 +170,24 @@ def pack_records(proj, tile_splat: jax.Array, tile_live: jax.Array,
     # Mosaic lowers cleanly). Gather only the N_FIELDS real rows and pad the
     # F-dimension AFTER — padding before the gather made the gather move the
     # 6 zero rows too (37.5% of the pack traffic for nothing).
-    gathered = rec[:, tile_splat].transpose(1, 0, 2)  # (T, N_FIELDS, M)
+    if pack8:
+        gathered = _gather_records_8row(rec, tile_splat)
+    else:
+        gathered = rec[:, tile_splat].transpose(1, 0, 2)  # (T, NF, M)
     gathered = gathered.at[:, _C_AEFF, :].multiply(tile_live.astype(dtype))
     t, _, m = gathered.shape
     return jnp.concatenate(
         [gathered, jnp.zeros((t, _F - N_FIELDS, m), dtype)], axis=1)
 
 
-def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref, out_ref):
+def _composite_kernel(counts_ref, rec_ref, kx_ref, ky_ref, carry_ref,
+                      out_ref, tile_idx=None):
     """One tile. rec (F, M) VMEM; kx/ky (1, P) pixel coords in k units;
     carry (8, P) accumulators from an earlier (nearer) depth slab
     (rows r, g, b, a, transmittance; identity = zeros with trans 1);
-    out (8, P): rows r, g, b, a, transmittance, 0, 0, 0."""
-    t = pl.program_id(0)
+    out (8, P): rows r, g, b, a, transmittance, 0, 0, 0. tile_idx
+    overrides the counts index (batched grids pass program_id*B + j)."""
+    t = pl.program_id(0) if tile_idx is None else tile_idx
     n = counts_ref[t]
     dtype = out_ref.dtype
     p = kx_ref.shape[-1]
@@ -222,24 +290,30 @@ def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
     assert f == _F and m % CHUNK == 0 and p % 128 == 0
     dtype = records.dtype
 
+    # Batch B tiles per grid step: the per-step dispatch/staging overhead
+    # (~2 us) dominated the non-busy tiles of the 10M bench frame (1020
+    # steps; ~45% of cube-scene tiles early-exit immediately). B=4 is a
+    # pure grid re-shape — the kernel loops its unbatched body.
+    b = next(bb for bb in (4, 2, 1) if t_tiles % bb == 0)
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(t_tiles,),
+        grid=(t_tiles // b,),
         in_specs=[
-            pl.BlockSpec((1, _F, m), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((b, _F, m), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((b, 1, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, p), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((b, 1, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0),
+            pl.BlockSpec((b, 8, p), lambda t, c: (t, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 8, p), lambda t, c: (t, 0, 0),
+        out_specs=pl.BlockSpec((b, 8, p), lambda t, c: (t, 0, 0),
                                memory_space=pltpu.VMEM),
     )
 
-    kernel = functools.partial(_squeeze_kernel, _composite_kernel)
+    kernel = functools.partial(_squeeze_kernel, _composite_kernel, b)
     # Off-TPU (tests, CPU sharding dry runs) the kernel runs interpreted;
     # semantics are identical.
     interpret = jax.default_backend() != "tpu"
@@ -251,11 +325,13 @@ def _composite_pallas_raw(records: jax.Array, counts: jax.Array,
     )(counts, records, kx, ky, carry)
 
 
-def _squeeze_kernel(inner, counts_ref, rec_ref, kx_ref, ky_ref, carry_ref,
-                    out_ref):
-    """Adapt (1, ...) blocks to the inner kernel's unbatched view."""
-    inner(counts_ref, rec_ref.at[0], kx_ref.at[0], ky_ref.at[0],
-          carry_ref.at[0], out_ref.at[0])
+def _squeeze_kernel(inner, b, counts_ref, rec_ref, kx_ref, ky_ref,
+                    carry_ref, out_ref):
+    """Adapt (B, ...) blocks to the inner kernel's unbatched view."""
+    for j in range(b):
+        inner(counts_ref, rec_ref.at[j], kx_ref.at[j], ky_ref.at[j],
+              carry_ref.at[j], out_ref.at[j],
+              tile_idx=pl.program_id(0) * b + j)
 
 
 # ---------------------------------------------------------------------------

@@ -30,7 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _blk_for(pad_to: int) -> int:
-    for blk in (16384, 8192, 4096, 2048, 1024):
+    for blk in (65536, 32768, 16384, 8192, 4096, 2048, 1024):
         if pad_to % blk == 0:
             return blk
     raise ValueError(f"pad_to={pad_to} must be a multiple of 1024")

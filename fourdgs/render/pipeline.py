@@ -396,7 +396,12 @@ def _composite_pallas_progressive(proj: Projected, binning, px, py, p00, p11,
     with jax.named_scope("pass1_pack"):
         rows0 = _gather_pair_rows(pair_pad, starts, m)
         live0 = arange_m[None, :] < counts_full[:, None]
-        rec0 = pack_records(proj, rows0, live0, p00, p11, rec=rec_shared)
+        # pack8 on the production (shared-record) path: the head gather
+        # moves one 32-byte granule per index instead of two; colors and
+        # a_eff ride as bf16 — still finer than the reference's 8-bit
+        # framebuffer (ops/composite_pallas._gather_records_8row).
+        rec0 = pack_records(proj, rows0, live0, p00, p11, rec=rec_shared,
+                            pack8=rec_shared is not None)
     with jax.named_scope("pass1_kernel"):
         out = composite_records(rec0,
                                 jnp.minimum(counts_full, m).astype(jnp.int32),
